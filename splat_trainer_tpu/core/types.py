@@ -1,0 +1,209 @@
+"""Core pytree types for the TPU splat trainer.
+
+Design notes (TPU-first):
+- All point arrays are **fixed-capacity** with an explicit validity story:
+  invisible / inactive slots carry zeros and are masked out by the kernels.
+  XLA requires static shapes; densification reuses capacity slots
+  (see controller/) instead of reallocating tensors like the reference does
+  (/root/reference/splat_trainer/scene/mlp_scene.py:301-313).
+- `Gaussians3D` mirrors the reference's canonical splat struct
+  (taichi_splatting Gaussians3D; see SURVEY.md N3) so ply IO and checkpoints
+  stay layout-compatible.
+- `CameraParams` mirrors taichi_splatting.perspective.CameraParams
+  (SURVEY.md N4): T_camera_world 4x4, projection [fx fy cx cy],
+  static image_size, near/far planes.
+- `RasterConfig` mirrors taichi_splatting RasterConfig (SURVEY.md N5) and is
+  a *static* (hashable) dataclass — it selects compiled kernel variants.
+- `Rendering`/`RenderedPoints` mirror the reference's rich render output
+  (SURVEY.md N2) with capacity-shaped per-point statistics.
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from splat_trainer_tpu.utils import transforms
+
+
+@struct.dataclass
+class Gaussians3D:
+    """Canonical 3D gaussian parameters (capacity-shaped).
+
+    position:    (N, 3) world position
+    rotation:    (N, 4) unit quaternion, xyzw
+    log_scaling: (N, 3) log of per-axis scale
+    alpha_logit: (N, 1) pre-sigmoid opacity
+    feature:     (N, C) learned color feature, or (N, 3, K) SH coefficients
+    """
+
+    position: jax.Array
+    rotation: jax.Array
+    log_scaling: jax.Array
+    alpha_logit: jax.Array
+    feature: jax.Array
+
+    @property
+    def num_points(self) -> int:
+        return self.position.shape[0]
+
+    @property
+    def batch_size(self) -> Tuple[int, ...]:
+        return (self.position.shape[0],)
+
+    def alpha(self) -> jax.Array:
+        return jax.nn.sigmoid(self.alpha_logit)
+
+    def scale(self) -> jax.Array:
+        return jnp.exp(self.log_scaling)
+
+    def translated(self, translation: jax.Array) -> "Gaussians3D":
+        return self.replace(position=self.position + translation)
+
+    def scaled(self, scale: float) -> "Gaussians3D":
+        return self.replace(
+            position=self.position * scale,
+            log_scaling=self.log_scaling + jnp.log(scale),
+        )
+
+    @staticmethod
+    def packed_dim(feature_dim: int) -> int:
+        return 3 + 4 + 3 + 1 + feature_dim
+
+    def __getitem__(self, idx) -> "Gaussians3D":
+        return jax.tree_util.tree_map(lambda x: x[idx], self)
+
+
+@struct.dataclass
+class CameraParams:
+    """Pinhole camera for rendering (taichi CameraParams equivalent).
+
+    T_camera_world: (4, 4) world->camera rigid transform
+    projection:     (4,)  [fx, fy, cx, cy]
+    image_size:     (width, height) — static python ints (compiled shape)
+    near_plane/far_plane: scalars (traced — varying them doesn't recompile)
+    """
+
+    T_camera_world: jax.Array
+    projection: jax.Array
+    near_plane: jax.Array
+    far_plane: jax.Array
+    image_size: Tuple[int, int] = struct.field(pytree_node=False)
+
+    @property
+    def camera_position(self) -> jax.Array:
+        r, t = transforms.split_rt(self.T_camera_world)
+        return -r.T @ t
+
+    @property
+    def T_world_camera(self) -> jax.Array:
+        return transforms.invert_rt(self.T_camera_world)
+
+    @staticmethod
+    def create(T_camera_world, projection, image_size, near_plane=0.1, far_plane=100.0):
+        return CameraParams(
+            T_camera_world=jnp.asarray(T_camera_world, jnp.float32),
+            projection=jnp.asarray(projection, jnp.float32),
+            near_plane=jnp.asarray(near_plane, jnp.float32),
+            far_plane=jnp.asarray(far_plane, jnp.float32),
+            image_size=(int(image_size[0]), int(image_size[1])),
+        )
+
+
+@dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer options — selects compiled kernel variants.
+
+    Mirrors the options the reference pulls from kwargs
+    (/root/reference/splat_trainer/scene/util.py:11-22, trainer.py:305-310).
+    """
+
+    tile_size: int = 16
+    # low-pass filter added to the 2D covariance (pixel units)
+    blur_cov: float = 0.3
+    # if True, compensate opacity for the low-pass filter (Mip-style antialias)
+    antialias: bool = False
+    # compositing thresholds (match standard 3DGS semantics)
+    alpha_threshold: float = 1.0 / 255.0
+    alpha_clamp: float = 0.995
+    transmittance_threshold: float = 1e-4
+    # margin factor for clamping x/z, y/z in the projection Jacobian
+    clip_margin: float = 1.3
+    # produce a median-depth channel
+    render_median_depth: bool = False
+    compute_visibility: bool = True
+    compute_point_heuristic: bool = True
+    # static capacity for (gaussian, tile) instance pairs; overflow is
+    # dropped and counted (never silent)
+    max_instances: int = 1 << 20
+    # instances processed per inner kernel step
+    chunk_size: int = 128
+    # backend: "auto" | "pallas" | "jnp"
+    backend: str = "auto"
+
+    def __post_init__(self):
+        assert self.max_instances % self.chunk_size == 0, \
+            "max_instances must be a multiple of chunk_size"
+
+
+@struct.dataclass
+class Gaussians2D:
+    """Projected (screen-space) gaussians, capacity-shaped.
+
+    mean:    (N, 2) pixel coordinates
+    conic:   (N, 3) upper-triangular inverse 2D covariance [a, b, c]
+    depth:   (N,)   camera-space z
+    opacity: (N,)   effective opacity after antialias compensation
+    radius:  (N,)   3-sigma screen radius in pixels (float)
+    screen_scale: (N, 2) sqrt eigenvalues of the 2D covariance (pixels)
+    visible: (N,)   bool frustum/extent cull result
+    """
+
+    mean: jax.Array
+    conic: jax.Array
+    depth: jax.Array
+    opacity: jax.Array
+    radius: jax.Array
+    screen_scale: jax.Array
+    visible: jax.Array
+
+
+@struct.dataclass
+class RenderedPoints:
+    """Per-point render statistics, capacity-shaped (SURVEY.md N2).
+
+    Invisible points carry zeros. `idx`-style sparse access in the reference
+    becomes mask-based access here (XLA static shapes).
+    """
+
+    in_view: jax.Array        # (N,) bool — point was in the view frustum
+    visibility: jax.Array     # (N,) sum of compositing weights alpha*T
+    prune_cost: jax.Array     # (N,) gradient-derived prune heuristic
+    split_score: jax.Array    # (N,) gradient-derived split heuristic
+    screen_scale: jax.Array   # (N, 2) screen-space sigma (pixels)
+    depths: jax.Array         # (N,) camera z
+
+    @property
+    def num_visible(self) -> jax.Array:
+        return (self.visibility > 0).sum()
+
+
+@struct.dataclass
+class Rendering:
+    """Render output pytree (reference `Rendering`, SURVEY.md N2)."""
+
+    image: jax.Array                     # (H, W, C)
+    alpha: jax.Array                     # (H, W) accumulated opacity
+    points: RenderedPoints
+    camera: CameraParams
+    median_ndc_image: Optional[jax.Array] = None   # (H, W) in [0,1]
+    median_depth_image: Optional[jax.Array] = None  # (H, W) camera z
+    # number of (gaussian, tile) instances dropped due to capacity overflow
+    clipped_instances: Optional[jax.Array] = None
+
+    @property
+    def image_size(self):
+        h, w = self.image.shape[:2]
+        return (w, h)

@@ -1,0 +1,136 @@
+"""Tile binning for the rasterizer: static-capacity instance expansion + sort.
+
+TPU-native replacement for the CUDA dynamic per-tile lists + radix sort used
+by taichi-splatting (SURVEY.md §7.4 hard-part #1). Design:
+
+- Each visible gaussian covers a rectangle of tiles; instance k of gaussian g
+  is *derived by gather* (searchsorted over the exclusive-cumsum of spans)
+  instead of scattered — fully parallel, no dynamic memory.
+- A single fused uint32 sort key packs (tile_id, quantized NDC depth):
+  tile bits are the high bits so one `lax.sort_key_val` yields instances
+  grouped by tile in front-to-back depth order.
+- Static capacity `max_instances`; overflow instances are dropped and
+  *counted* (Rendering.clipped_instances — never silent).
+
+Depth is quantized to (32 - tile_bits) bits of inverse-depth NDC. At 1536
+tiles that is 21 bits ≈ 2e-7 NDC resolution; ordering errors from ties are
+visually indistinguishable (CUDA 3DGS similarly sorts quantized keys).
+"""
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from splat_trainer_tpu.core.types import CameraParams, Gaussians2D, RasterConfig
+from splat_trainer_tpu.ops.projection import ndc_depth
+
+
+class TileGrid(NamedTuple):
+    ntx: int
+    nty: int
+    tile_size: int
+
+    @property
+    def num_tiles(self) -> int:
+        return self.ntx * self.nty
+
+    @property
+    def tile_bits(self) -> int:
+        # enough bits to represent num_tiles (one past the last real tile is
+        # the "invalid" bucket, so +1)
+        return max(1, math.ceil(math.log2(self.num_tiles + 1)))
+
+    @property
+    def depth_bits(self) -> int:
+        return 32 - self.tile_bits
+
+
+def make_tile_grid(image_size: Tuple[int, int], tile_size: int) -> TileGrid:
+    w, h = image_size
+    return TileGrid(ntx=-(-w // tile_size), nty=-(-h // tile_size), tile_size=tile_size)
+
+
+class Instances(NamedTuple):
+    """Sorted (gaussian, tile) instance pairs, capacity-shaped (M,)."""
+
+    gaussian_id: jax.Array   # (M,) int32 — gaussian index per sorted instance
+    tile_id: jax.Array       # (M,) int32 — tile index per sorted instance
+    valid: jax.Array         # (M,) bool
+    tile_starts: jax.Array   # (num_tiles + 1,) int32 — instance ranges per tile
+    total: jax.Array         # scalar int32 — number of valid instances (clipped)
+    clipped: jax.Array       # scalar int32 — overflow count (0 if none)
+
+
+def tile_rects(g2d: Gaussians2D, grid: TileGrid):
+    """Clipped tile-rectangle [x0, x1) x [y0, y1) per gaussian + span counts."""
+    ts = grid.tile_size
+    u, v = g2d.mean[:, 0], g2d.mean[:, 1]
+    r = g2d.radius
+
+    x0 = jnp.clip(jnp.floor((u - r) / ts), 0, grid.ntx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((v - r) / ts), 0, grid.nty).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((u + r) / ts) + 1, 0, grid.ntx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((v + r) / ts) + 1, 0, grid.nty).astype(jnp.int32)
+
+    span = jnp.where(g2d.visible, (x1 - x0) * (y1 - y0), 0).astype(jnp.int32)
+    return (x0, y0, x1, y1), span
+
+
+def expand_and_sort(
+    g2d: Gaussians2D,
+    camera: CameraParams,
+    config: RasterConfig,
+    grid: TileGrid,
+) -> Instances:
+    """Expand gaussians into depth-sorted per-tile instances (static capacity)."""
+    M = config.max_instances
+    (x0, y0, x1, _y1), span = tile_rects(g2d, grid)
+    span_x = jnp.maximum(x1 - x0, 1)
+
+    offsets = jnp.cumsum(span) - span              # exclusive cumsum, (N,)
+    total_raw = offsets[-1] + span[-1]
+    total = jnp.minimum(total_raw, M).astype(jnp.int32)
+    clipped = (total_raw - total).astype(jnp.int32)
+
+    inst = jnp.arange(M, dtype=jnp.int32)
+    valid = inst < total
+
+    # instance -> owning gaussian (binary search over the cumsum)
+    gid = jnp.searchsorted(offsets, inst, side="right").astype(jnp.int32) - 1
+    gid = jnp.clip(gid, 0, offsets.shape[0] - 1)
+
+    # instance -> tile within the gaussian's rect
+    r = inst - offsets[gid]
+    sx = span_x[gid]
+    tx = x0[gid] + r % sx
+    ty = y0[gid] + r // sx
+    tile = (ty * grid.ntx + tx).astype(jnp.uint32)
+
+    # fused sort key: [tile_bits | depth_bits]
+    db = grid.depth_bits
+    dq_max = jnp.uint32((1 << db) - 1)
+    ndc = ndc_depth(g2d.depth[gid], camera.near_plane, camera.far_plane)
+    dq = jnp.minimum((ndc * float((1 << db) - 1)).astype(jnp.uint32), dq_max)
+    key = (tile << db) | dq
+    invalid_key = jnp.uint32(grid.num_tiles) << db
+    key = jnp.where(valid, key, invalid_key)
+
+    sorted_key, sorted_gid = jax.lax.sort_key_val(key, gid)
+
+    # per-tile instance ranges via boundary search
+    boundaries = (jnp.arange(grid.num_tiles + 1, dtype=jnp.uint32) << db)
+    tile_starts = jnp.searchsorted(sorted_key, boundaries, side="left").astype(jnp.int32)
+
+    sorted_tile = (sorted_key >> db).astype(jnp.int32)
+    sorted_valid = sorted_tile < grid.num_tiles
+
+    return Instances(
+        gaussian_id=sorted_gid,
+        tile_id=sorted_tile,
+        valid=sorted_valid,
+        tile_starts=tile_starts,
+        total=total,
+        clipped=clipped,
+    )
