@@ -1,0 +1,409 @@
+"""Pallas TPU tile rasterizer: fused alpha-compositing forward + backward.
+
+TPU-native replacement for taichi-splatting's CUDA tile rasterizer
+(SURVEY.md N1/N2, §7.4 hard parts #1/#2). Architectural translation:
+
+- CUDA's per-pixel serial front-to-back loop becomes a **blockwise
+  associative composite**: each grid step processes a chunk of K
+  depth-sorted instances against all P = tile_size^2 pixels at once.
+  Transmittance is a product-scan along the chunk axis (Hillis-Steele on
+  sublanes), so the whole chunk is VPU/MXU work — no scalar loop.
+- Per-tile instance lists live in HBM (built by ops/tiling.py); the kernel
+  walks them chunk-by-chunk with manual async DMA and early-exits via
+  `lax.while_loop` once every pixel in the tile is saturated
+  (transmittance below threshold).
+- Per-instance outputs (visibility in fwd; parameter gradients + prune
+  heuristic in bwd) are accumulated with read-modify-write DMA into
+  zero-initialized buffers (input/output aliasing). Chunks are aligned to
+  global K boundaries, so a boundary chunk shared by two consecutive tiles
+  composes additively — the grid is sequential (`dimension_semantics =
+  arbitrary`), which makes RMW race-free.
+- Images are produced **tile-major** (num_tiles, 8, P): channels
+  [r, g, b, T_final, median_ndc, unused...]. Conversion to (H, W, C) is a
+  cheap XLA reshape outside the kernel (and outside the custom VJP, so the
+  backward receives tile-major cotangents directly).
+
+The backward replays the forward front-to-back per chunk and uses the
+suffix-sum identity  S_k = C_final - prefix(w * c)  to form
+dL/dalpha_k = T_k (c_k . g) - (S_k . g)/(1 - alpha_k) without a reverse
+pass (same formulation as ops/rasterize_jnp.dense_backward, which is this
+kernel's correctness oracle).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from splat_trainer_tpu.core.types import RasterConfig
+from splat_trainer_tpu.ops.tiling import TileGrid
+
+# packed per-instance layout, (M, 16) f32:
+# [0] mean_x [1] mean_y [2] conic_a [3] conic_b [4] conic_c
+# [5] opacity [6:9] rgb [9] ndc depth [10:16] pad
+INST_COLS = 16
+# backward per-instance gradient layout, (M, 16) f32:
+# [0] d_mean_x [1] d_mean_y [2:5] d_conic [5] d_opacity [6:9] d_color
+# [9] prune_cost [10:16] pad
+GRAD_COLS = 16
+IMG_ROWS = 8  # [r, g, b, T_final, median_ndc, pad, pad, pad]
+
+
+def _row_iota(k: int, p: int):
+    return lax.broadcasted_iota(jnp.int32, (k, p), 0)
+
+
+def _scan_axis0(x, op, identity, k: int):
+    """Inclusive Hillis-Steele scan along sublane axis 0 (static K)."""
+    rows = _row_iota(k, x.shape[1])
+    s = 1
+    while s < k:
+        shifted = pltpu.roll(x, shift=s, axis=0)
+        shifted = jnp.where(rows >= s, shifted, identity)
+        x = op(x, shifted)
+        s *= 2
+    return x
+
+
+def _shift_down1(x, identity, k: int):
+    """x[i-1] at row i; `identity` at row 0."""
+    rows = _row_iota(k, x.shape[1])
+    return jnp.where(rows >= 1, pltpu.roll(x, shift=1, axis=0), identity)
+
+
+def _chunk_geometry(data, px, py, start, end, off, valid_px, config: RasterConfig, k: int):
+    """Shared fwd/bwd per-chunk alpha computation. data: (K, 16)."""
+    mx, my = data[:, 0:1], data[:, 1:2]
+    ca, cb, cc = data[:, 2:3], data[:, 3:4], data[:, 4:5]
+    op = data[:, 5:6]
+
+    dx = px - mx            # (K, P)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expp = jnp.exp(power)
+    alpha = jnp.minimum(op * expp, config.alpha_clamp)
+
+    ids = off + lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    in_range = (ids >= start) & (ids < end)
+    keep = (power <= 0.0) & (alpha >= config.alpha_threshold) & in_range & valid_px
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, expp, dx, dy, (ca, cb, cc)
+
+
+def _pixel_coords(t, grid: TileGrid, image_size):
+    """Pixel centers covered by tile t: px, py (1, P) and validity mask."""
+    p = grid.tile_size * grid.tile_size
+    tx = t % grid.ntx
+    ty = t // grid.ntx
+    pix = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    ix = tx * grid.tile_size + pix % grid.tile_size
+    iy = ty * grid.tile_size + pix // grid.tile_size
+    px = ix.astype(jnp.float32) + 0.5
+    py = iy.astype(jnp.float32) + 0.5
+    w, h = image_size
+    valid = (ix < w) & (iy < h)
+    return px, py, valid
+
+
+def _chunk_bounds(start, end, k: int):
+    """First global-aligned chunk and chunk count for range [start, end)."""
+    c0 = start // k
+    nch = jnp.where(end > start, (end - c0 * k + k - 1) // k, 0)
+    return c0, nch
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
+                starts_ref, inst_ref, vis_zero_ref,
+                out_ref, vis_ref,
+                inst_buf, vis_buf, in_sem, vis_sem):
+    del vis_zero_ref  # aliased to vis_ref
+    k = config.chunk_size
+    p = grid.tile_size * grid.tile_size
+    t = pl.program_id(0)
+
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    px, py, valid_px = _pixel_coords(t, grid, image_size)
+    c0, nch = _chunk_bounds(start, end, k)
+
+    def cond(carry):
+        i, T, _rgb, _med = carry
+        return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
+
+    def body(carry):
+        i, T, rgb, med = carry
+        off = (c0 + i) * k
+
+        cp = pltpu.make_async_copy(inst_ref.at[pl.ds(off, k), :], inst_buf, in_sem)
+        cp.start()
+        cp.wait()
+        data = inst_buf[:, :]
+
+        alpha, _expp, _dx, _dy, _con = _chunk_geometry(
+            data, px, py, start, end, off, valid_px, config, k)
+
+        om = 1.0 - alpha
+        cum = _scan_axis0(om, lax.mul, 1.0, k)        # inclusive prod
+        T_excl = T * _shift_down1(cum, 1.0, k)
+        w = alpha * T_excl                            # (K, P)
+
+        col = data[:, 6:9]                            # (K, 3)
+        rgb = rgb + lax.dot_general(
+            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        A_after = 1.0 - T * cum
+        A_before = 1.0 - T_excl
+        crossed = (A_after >= 0.5) & (A_before < 0.5)
+        med = med + jnp.sum(
+            jnp.where(crossed, data[:, 9:10], 0.0), axis=0, keepdims=True)
+
+        # per-instance visibility (1, K) — read-modify-write the slab
+        vis_chunk = lax.dot_general(
+            jnp.ones((1, p), jnp.float32), w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rd = pltpu.make_async_copy(vis_ref.at[:, pl.ds(off, k)], vis_buf, vis_sem)
+        rd.start()
+        rd.wait()
+        vis_buf[:, :] = vis_buf[:, :] + vis_chunk
+        wr = pltpu.make_async_copy(vis_buf, vis_ref.at[:, pl.ds(off, k)], vis_sem)
+        wr.start()
+        wr.wait()
+
+        return i + 1, T * cum[k - 1:k, :], rgb, med
+
+    T0 = jnp.ones((1, p), jnp.float32)
+    rgb0 = jnp.zeros((3, p), jnp.float32)
+    med0 = jnp.zeros((1, p), jnp.float32)
+    _, T, rgb, med = lax.while_loop(cond, body, (jnp.int32(0), T0, rgb0, med0))
+
+    out_ref[0, 0:3, :] = rgb
+    out_ref[0, 3:4, :] = T
+    out_ref[0, 4:5, :] = med
+    out_ref[0, 5:8, :] = jnp.zeros((3, p), jnp.float32)
+
+
+def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
+                      config: RasterConfig, interpret: bool = False):
+    """Run the forward kernel.
+
+    Args:
+        tile_starts: (num_tiles + 1,) int32 instance ranges.
+        inst_data: (M, 16) f32 packed sorted instances.
+        Returns (tile_img (num_tiles, 8, P), inst_vis (1, M)).
+    """
+    m = inst_data.shape[0]
+    p = grid.tile_size * grid.tile_size
+    k = config.chunk_size
+
+    kernel = functools.partial(_fwd_kernel, grid, image_size, config)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid.num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vis zeros (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, IMG_ROWS, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vis out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, INST_COLS), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    vis_zero = jnp.zeros((1, m), jnp.float32)
+    tile_img, inst_vis = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid.num_tiles, IMG_ROWS, p), jnp.float32),
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+        ],
+        input_output_aliases={2: 1},  # vis zeros (arg after scalar prefetch) -> vis out
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tile_starts, inst_data, vis_zero)
+    return tile_img, inst_vis
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
+                starts_ref, inst_ref, ct_ref, img_ref, grad_zero_ref,
+                grad_ref,
+                inst_buf, grad_buf, in_sem, grad_sem):
+    del grad_zero_ref  # aliased to grad_ref
+    k = config.chunk_size
+    t = pl.program_id(0)
+
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    px, py, valid_px = _pixel_coords(t, grid, image_size)
+    c0, nch = _chunk_bounds(start, end, k)
+
+    g = ct_ref[0, 0:3, :]          # (3, P) image cotangent
+    ct_T = ct_ref[0, 3:4, :]       # (1, P) cotangent of final transmittance
+    Cfin = img_ref[0, 0:3, :]
+    Tfin = img_ref[0, 3:4, :]
+    F = jnp.sum(Cfin * g, axis=0, keepdims=True)          # (1, P)
+    gmag = jnp.sum(jnp.abs(g), axis=0, keepdims=True)     # (1, P)
+
+    def cond(carry):
+        i, T, _S = carry
+        return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
+
+    def body(carry):
+        i, T, S = carry
+        off = (c0 + i) * k
+
+        cp = pltpu.make_async_copy(inst_ref.at[pl.ds(off, k), :], inst_buf, in_sem)
+        cp.start()
+        cp.wait()
+        data = inst_buf[:, :]
+
+        alpha, expp, dx, dy, (ca, cb, cc) = _chunk_geometry(
+            data, px, py, start, end, off, valid_px, config, k)
+
+        om = 1.0 - alpha
+        cum = _scan_axis0(om, lax.mul, 1.0, k)
+        T_excl = T * _shift_down1(cum, 1.0, k)
+        w = alpha * T_excl
+
+        col = data[:, 6:9]
+        cg = lax.dot_general(col, g, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (K, P)
+        wcg = w * cg
+        prefix = S + _scan_axis0(wcg, lax.add, 0.0, k)             # inclusive
+        Sg_after = F - prefix
+
+        safe_om = jnp.maximum(om, 1e-6)
+        d_alpha = T_excl * cg - Sg_after / safe_om
+        d_alpha = d_alpha - ct_T * Tfin / safe_om                  # dTfin/da_k = -Tfin/(1-a_k)
+        d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+
+        unclamped = alpha < config.alpha_clamp
+        G = jnp.where(alpha > 0.0, expp, 0.0)
+        d_al_u = jnp.where(unclamped, d_alpha, 0.0)
+        dop = jnp.sum(d_al_u * G, axis=1, keepdims=True)           # (K, 1)
+        dpow = d_al_u * alpha                                      # (K, P)
+
+        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
+        dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=1, keepdims=True)
+        dca = jnp.sum(-0.5 * dpow * dx * dx, axis=1, keepdims=True)
+        dcb = jnp.sum(-dpow * dx * dy, axis=1, keepdims=True)
+        dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=1, keepdims=True)
+        dcol = lax.dot_general(w, g, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (K, 3)
+        prune = jnp.sum(w * gmag, axis=1, keepdims=True)
+
+        # pack + read-modify-write the gradient slab
+        rd = pltpu.make_async_copy(grad_ref.at[pl.ds(off, k), :], grad_buf, grad_sem)
+        rd.start()
+        rd.wait()
+        grad_buf[:, 0:1] += dmx
+        grad_buf[:, 1:2] += dmy
+        grad_buf[:, 2:3] += dca
+        grad_buf[:, 3:4] += dcb
+        grad_buf[:, 4:5] += dcc
+        grad_buf[:, 5:6] += dop
+        grad_buf[:, 6:9] += dcol
+        grad_buf[:, 9:10] += prune
+        wr = pltpu.make_async_copy(grad_buf, grad_ref.at[pl.ds(off, k), :], grad_sem)
+        wr.start()
+        wr.wait()
+
+        return i + 1, T * cum[k - 1:k, :], prefix[k - 1:k, :]
+
+    T0 = jnp.ones_like(ct_T)
+    S0 = jnp.zeros_like(ct_T)
+    lax.while_loop(cond, body, (jnp.int32(0), T0, S0))
+
+
+def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
+                       grid: TileGrid, image_size, config: RasterConfig,
+                       interpret: bool = False):
+    """Run the backward kernel. Returns per-instance gradients (M, 16)."""
+    m = inst_data.shape[0]
+    p = grid.tile_size * grid.tile_size
+    k = config.chunk_size
+
+    kernel = functools.partial(_bwd_kernel, grid, image_size, config)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid.num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
+            pl.BlockSpec((1, 4, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # ct rows [rgb, dT]
+            pl.BlockSpec((1, IMG_ROWS, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # fwd tile image
+            pl.BlockSpec(memory_space=pltpu.ANY),   # grad zeros (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, INST_COLS), jnp.float32),
+            pltpu.VMEM((k, GRAD_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    grad_zero = jnp.zeros((m, GRAD_COLS), jnp.float32)
+    (inst_grad,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((m, GRAD_COLS), jnp.float32)],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tile_starts, inst_data, ct_tile, tile_img, grad_zero)
+    return inst_grad
+
+
+# ---------------------------------------------------------------------------
+# tile-major <-> image layout helpers (outside the kernels, plain XLA)
+# ---------------------------------------------------------------------------
+
+
+def tiles_to_image(tile_img: jax.Array, grid: TileGrid, image_size) -> jax.Array:
+    """(num_tiles, C, P) -> (H, W, C), cropping tile padding."""
+    w, h = image_size
+    ts = grid.tile_size
+    c = tile_img.shape[1]
+    x = tile_img.reshape(grid.nty, grid.ntx, c, ts, ts)
+    x = x.transpose(0, 3, 1, 4, 2).reshape(grid.nty * ts, grid.ntx * ts, c)
+    return x[:h, :w]
+
+
+def image_to_tiles(img: jax.Array, grid: TileGrid) -> jax.Array:
+    """(H, W, C) -> (num_tiles, C, P), zero-padding to tile multiples."""
+    h, w, c = img.shape
+    ts = grid.tile_size
+    ph, pw = grid.nty * ts - h, grid.ntx * ts - w
+    x = jnp.pad(img, ((0, ph), (0, pw), (0, 0)))
+    x = x.reshape(grid.nty, ts, grid.ntx, ts, c)
+    x = x.transpose(0, 2, 4, 1, 3).reshape(grid.num_tiles, c, ts * ts)
+    return x

@@ -1,0 +1,250 @@
+"""Public rendering API: project -> bin -> composite, with a custom VJP.
+
+Equivalent of taichi-splatting's `project_to_image` / `render_projected` /
+`render_gaussians` (SURVEY.md N1; usage mlp_scene.py:410-427). Two backends
+behind one differentiable function:
+
+- "pallas": tile-binned Pallas kernels (ops/rasterize_pallas.py) — the TPU
+  production path (runs in interpret mode on CPU for tests).
+- "dense":  the O(H*W*N) jnp oracle (ops/rasterize_jnp.py) — CPU/test path
+  and the small-scene renderer for the virtual-device dryrun.
+
+Both share one custom-VJP wrapper whose *backward additionally emits the
+densification heuristics* (split_score = screen-space positional-gradient
+norm, prune_cost = gradient-weighted contribution). The heuristics are
+delivered as the cotangent of a zero-valued `heur_sink` input — a gradient
+tap: `jax.grad(loss, argnums=heur_sink)` returns per-point heuristics
+accumulated over the batch, exactly mirroring how the reference's renderer
+computes them inside its CUDA backward (SURVEY.md N2).
+"""
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from splat_trainer_tpu.core.types import (
+    CameraParams, Gaussians2D, Gaussians3D, RasterConfig, RenderedPoints, Rendering,
+)
+from splat_trainer_tpu.ops import rasterize_jnp, rasterize_pallas, tiling
+from splat_trainer_tpu.ops.projection import inverse_ndc_depth, ndc_depth, project_to_image
+
+
+class RasterOut(NamedTuple):
+    image: jax.Array       # (H, W, 3)
+    alpha: jax.Array       # (H, W)
+    median_ndc: jax.Array  # (H, W)
+    visibility: jax.Array  # (N,)
+    clipped: jax.Array     # scalar int32
+
+
+def resolve_backend(config: RasterConfig) -> str:
+    if config.backend != "auto":
+        return config.backend
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "dense"
+
+
+def heuristic_scale(image_size) -> float:
+    """Resolution normalization for split_score (3DGS convention: gradients
+    measured relative to half the image extent)."""
+    return 0.5 * max(image_size)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP rasterize functions (cached per static config)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
+                    interpret: bool):
+    hscale = heuristic_scale(image_size)
+
+    def forward_parts(mean, conic, opacity, color, depth_ndc, radius):
+        visible = radius >= 1.0
+        inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
+        n = mean.shape[0]
+        packed = jnp.concatenate([
+            mean, conic, opacity[:, None], color, depth_ndc[:, None],
+            jnp.zeros((n, rasterize_pallas.INST_COLS - 10), jnp.float32),
+        ], axis=1)[inst.gaussian_id]
+
+        tile_img, inst_vis = rasterize_pallas.rasterize_forward(
+            inst.tile_starts, packed, grid, image_size, config, interpret=interpret)
+
+        vis = jax.ops.segment_sum(
+            jnp.where(inst.valid, inst_vis[0], 0.0), inst.gaussian_id,
+            num_segments=n)
+        return tile_img, vis, inst, packed
+
+    def assemble(tile_img, vis, clipped):
+        planes = rasterize_pallas.tiles_to_image(tile_img[:, :5], grid, image_size)
+        image = planes[..., 0:3]
+        alpha = 1.0 - planes[..., 3]
+        median_ndc = jnp.where(alpha >= 0.5, planes[..., 4], 1.0)
+        return RasterOut(image, alpha, median_ndc, vis, clipped)
+
+    @jax.custom_vjp
+    def f(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
+        del heur_sink
+        tile_img, vis, inst, _ = forward_parts(mean, conic, opacity, color, depth_ndc, radius)
+        return assemble(tile_img, vis, inst.clipped)
+
+    def f_fwd(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
+        del heur_sink
+        tile_img, vis, inst, packed = forward_parts(
+            mean, conic, opacity, color, depth_ndc, radius)
+        out = assemble(tile_img, vis, inst.clipped)
+        res = (packed, inst.gaussian_id, inst.valid, inst.tile_starts, tile_img,
+               mean.shape[0])
+        return out, res
+
+    def f_bwd(res, ct: RasterOut):
+        packed, gid, valid, tile_starts, tile_img, n = res
+
+        # map image-space cotangents back to tile-major rows [rgb, dT]
+        ct_rgb = rasterize_pallas.image_to_tiles(ct.image, grid)          # (T,3,P)
+        ct_T = rasterize_pallas.image_to_tiles(-ct.alpha[..., None], grid)  # (T,1,P)
+        ct_tile = jnp.concatenate([ct_rgb, ct_T], axis=1)
+
+        inst_grad = rasterize_pallas.rasterize_backward(
+            tile_starts, packed, ct_tile, tile_img, grid, image_size, config,
+            interpret=interpret)
+        inst_grad = jnp.where(valid[:, None], inst_grad, 0.0)
+        seg = jax.ops.segment_sum(inst_grad, gid, num_segments=n)
+
+        d_mean = seg[:, 0:2]
+        d_conic = seg[:, 2:5]
+        d_opacity = seg[:, 5]
+        d_color = seg[:, 6:9]
+        prune_cost = seg[:, 9]
+        split_score = jnp.linalg.norm(d_mean, axis=-1) * hscale
+        heur = jnp.stack([split_score, prune_cost], axis=-1)
+
+        zero = jnp.zeros_like(d_opacity)
+        return (d_mean, d_conic, d_opacity, d_color, zero, zero, heur)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _make_dense_fn(grid: tiling.TileGrid, image_size, config: RasterConfig):
+    hscale = heuristic_scale(image_size)
+
+    def make_inputs(mean, conic, opacity, color, depth_ndc, radius):
+        visible = radius >= 1.0
+        order = jnp.argsort(jnp.where(visible, depth_ndc, jnp.inf))
+        rect, _ = tiling.tile_rects(mean, radius, visible, grid)
+        rect = jnp.stack(rect, axis=-1)
+        inputs = rasterize_jnp.DenseInputs(
+            mean=mean[order], conic=conic[order], opacity=opacity[order],
+            color=color[order], depth_ndc=depth_ndc[order], rect=rect[order],
+            visible=visible[order])
+        return inputs, order
+
+    @jax.custom_vjp
+    def f(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
+        del heur_sink
+        inputs, order = make_inputs(mean, conic, opacity, color, depth_ndc, radius)
+        image, alpha, median_ndc, vis_sorted = rasterize_jnp.dense_forward(
+            inputs, image_size, grid, config)
+        vis = jnp.zeros_like(vis_sorted).at[order].set(vis_sorted)
+        return RasterOut(image, alpha, median_ndc, vis, jnp.int32(0))
+
+    def f_fwd(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
+        out = f(mean, conic, opacity, color, depth_ndc, radius, heur_sink)
+        return out, (mean, conic, opacity, color, depth_ndc, radius)
+
+    def f_bwd(res, ct: RasterOut):
+        mean, conic, opacity, color, depth_ndc, radius = res
+        inputs, order = make_inputs(mean, conic, opacity, color, depth_ndc, radius)
+        dm, dc, do, dcol, split, prune = rasterize_jnp.dense_backward(
+            inputs, image_size, grid, config, ct.image, ct.alpha)
+
+        def unsort(x):
+            return jnp.zeros_like(x).at[order].set(x)
+
+        heur = jnp.stack([unsort(split) * hscale, unsort(prune)], axis=-1)
+        zero = jnp.zeros_like(do)
+        return (unsort(dm), unsort(dc), unsort(do), unsort(dcol), zero, zero, heur)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def render_projected(
+    g2d: Gaussians2D,
+    colors: jax.Array,
+    camera: CameraParams,
+    config: RasterConfig,
+    heur_sink: Optional[jax.Array] = None,
+) -> Rendering:
+    """Composite projected gaussians into a Rendering.
+
+    `heur_sink` is an all-zeros (N, 2) array whose *gradient* carries the
+    densification heuristics [split_score, prune_cost] (see module docstring).
+    """
+    backend = resolve_backend(config)
+    grid = tiling.make_tile_grid(camera.image_size, config.tile_size)
+    n = g2d.mean.shape[0]
+    if heur_sink is None:
+        heur_sink = jnp.zeros((n, 2), jnp.float32)
+
+    depth_ndc = ndc_depth(g2d.depth, camera.near_plane, camera.far_plane)
+    radius_masked = jnp.where(g2d.visible, g2d.radius, 0.0)
+
+    if backend == "pallas":
+        interpret = jax.default_backend() == "cpu"
+        fn = _make_pallas_fn(grid, camera.image_size, config, interpret)
+    elif backend == "dense":
+        fn = _make_dense_fn(grid, camera.image_size, config)
+    else:
+        raise ValueError(f"unknown rasterizer backend: {backend}")
+
+    out = fn(g2d.mean, g2d.conic, g2d.opacity, colors[:, :3].astype(jnp.float32),
+             depth_ndc, radius_masked, heur_sink)
+
+    median_depth = None
+    median_ndc = None
+    if config.render_median_depth:
+        median_ndc = out.median_ndc
+        median_depth = inverse_ndc_depth(out.median_ndc, camera.near_plane,
+                                         camera.far_plane)
+
+    points = RenderedPoints(
+        in_view=g2d.visible,
+        visibility=jax.lax.stop_gradient(out.visibility),
+        prune_cost=jnp.zeros((n,), jnp.float32),   # delivered via heur_sink grad
+        split_score=jnp.zeros((n,), jnp.float32),  # delivered via heur_sink grad
+        screen_scale=g2d.screen_scale,
+        depths=g2d.depth,
+    )
+    return Rendering(
+        image=out.image,
+        alpha=out.alpha,
+        points=points,
+        camera=camera,
+        median_ndc_image=median_ndc,
+        median_depth_image=median_depth,
+        clipped_instances=out.clipped,
+    )
+
+
+def render_gaussians(
+    gaussians: Gaussians3D,
+    colors: jax.Array,
+    camera: CameraParams,
+    config: RasterConfig = RasterConfig(),
+    active: Optional[jax.Array] = None,
+    heur_sink: Optional[jax.Array] = None,
+) -> Rendering:
+    """Project + composite in one call (taichi `render_gaussians` equivalent)."""
+    g2d = project_to_image(gaussians, camera, config, active=active)
+    return render_projected(g2d, colors, camera, config, heur_sink=heur_sink)

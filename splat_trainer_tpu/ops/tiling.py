@@ -23,8 +23,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from splat_trainer_tpu.core.types import CameraParams, Gaussians2D, RasterConfig
-from splat_trainer_tpu.ops.projection import ndc_depth
+from splat_trainer_tpu.core.types import RasterConfig
 
 
 class TileGrid(NamedTuple):
@@ -63,30 +62,32 @@ class Instances(NamedTuple):
     clipped: jax.Array       # scalar int32 — overflow count (0 if none)
 
 
-def tile_rects(g2d: Gaussians2D, grid: TileGrid):
+def tile_rects(mean: jax.Array, radius: jax.Array, visible: jax.Array, grid: TileGrid):
     """Clipped tile-rectangle [x0, x1) x [y0, y1) per gaussian + span counts."""
     ts = grid.tile_size
-    u, v = g2d.mean[:, 0], g2d.mean[:, 1]
-    r = g2d.radius
+    u, v = mean[:, 0], mean[:, 1]
+    r = radius
 
     x0 = jnp.clip(jnp.floor((u - r) / ts), 0, grid.ntx).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((v - r) / ts), 0, grid.nty).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((u + r) / ts) + 1, 0, grid.ntx).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((v + r) / ts) + 1, 0, grid.nty).astype(jnp.int32)
 
-    span = jnp.where(g2d.visible, (x1 - x0) * (y1 - y0), 0).astype(jnp.int32)
+    span = jnp.where(visible, (x1 - x0) * (y1 - y0), 0).astype(jnp.int32)
     return (x0, y0, x1, y1), span
 
 
 def expand_and_sort(
-    g2d: Gaussians2D,
-    camera: CameraParams,
+    mean: jax.Array,
+    radius: jax.Array,
+    visible: jax.Array,
+    depth_ndc: jax.Array,
     config: RasterConfig,
     grid: TileGrid,
 ) -> Instances:
     """Expand gaussians into depth-sorted per-tile instances (static capacity)."""
     M = config.max_instances
-    (x0, y0, x1, _y1), span = tile_rects(g2d, grid)
+    (x0, y0, x1, _y1), span = tile_rects(mean, radius, visible, grid)
     span_x = jnp.maximum(x1 - x0, 1)
 
     offsets = jnp.cumsum(span) - span              # exclusive cumsum, (N,)
@@ -111,7 +112,7 @@ def expand_and_sort(
     # fused sort key: [tile_bits | depth_bits]
     db = grid.depth_bits
     dq_max = jnp.uint32((1 << db) - 1)
-    ndc = ndc_depth(g2d.depth[gid], camera.near_plane, camera.far_plane)
+    ndc = jnp.clip(depth_ndc[gid], 0.0, 1.0)
     dq = jnp.minimum((ndc * float((1 << db) - 1)).astype(jnp.uint32), dq_max)
     key = (tile << db) | dq
     invalid_key = jnp.uint32(grid.num_tiles) << db

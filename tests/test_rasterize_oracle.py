@@ -19,7 +19,7 @@ def make_inputs(n=200, image_size=(64, 48), seed=0):
     g2d = projection.project_to_image(g, cam, config)
     order = jnp.argsort(jnp.where(g2d.visible, g2d.depth, jnp.inf))
 
-    rect, _span = tiling.tile_rects(g2d, grid)
+    rect, _span = tiling.tile_rects(g2d.mean, g2d.radius, g2d.visible, grid)
     rect = jnp.stack(rect, axis=-1)
     colors = g.feature
 
