@@ -1,0 +1,139 @@
+"""Target-count densification controller.
+
+Capability equivalent of the reference TargetController
+(/root/reference/splat_trainer/controller/target_controller.py:20-160):
+ramps the active point count from the initial count to `target_points` by
+smoothstep (reaching the target at t = target_count_t), pruning the
+cheapest `prune_rate * n * (1 - t)` points (plus oversized floaters) and
+splitting the top-scored points to hit the schedule.
+
+Split: host-side schedule bookkeeping (when to densify, target counts) +
+one jitted device function (`densify_device`) operating on capacity slots
+with traced counts, so no step-dependent recompilation.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from splat_trainer_tpu.config import (
+    Piecewise, Progress, VaryingInt, eval_varying, smoothstep,
+)
+from splat_trainer_tpu.controller.point_state import PointState, take_n_mask
+from splat_trainer_tpu.models import gaussians as G
+from splat_trainer_tpu.models.mlp_scene import SceneState
+from splat_trainer_tpu.optim.vis_laprop import reset_slots
+
+
+def default_densify_interval():
+    return Piecewise(50, [(0.1, 100), (0.5, 200)])
+
+
+@dataclass(frozen=True)
+class TargetConfig:
+    prune_rate: float = 0.025
+    target_count_t: float = 0.8
+    min_views: int = 5
+    max_scale_px: float = 200.0
+    min_split_px: float = 0.0
+    densify_prune_interval: VaryingInt = field(default_factory=default_densify_interval)
+
+    def make_controller(self, start_points: int, target_points: int,
+                        progress: Progress) -> "TargetController":
+        return TargetController(self, start_points, target_points, progress)
+
+
+def densify_device(
+    scene: SceneState,
+    pstate: PointState,
+    key: jax.Array,
+    *,
+    t: jax.Array,                 # traced progress
+    target_points: jax.Array,     # traced schedule target
+    prune_rate: float,
+    min_views: int,
+    max_scale_px: float,
+    min_split_px: float,
+) -> Tuple[SceneState, PointState, dict]:
+    """One split/prune pass over capacity slots (jitted; traced counts)."""
+    active = scene.active
+    n = active.sum()
+
+    exceeds_scale = (pstate.max_scale_px > max_scale_px) & active
+    prune_schedule = jnp.ceil(prune_rate * n.astype(jnp.float32) * (1.0 - t)
+                              ).astype(jnp.int32)
+
+    prune_cost, split_score = pstate.masked_heuristics(min_views, active)
+    prune_mask = take_n_mask(prune_cost, prune_schedule) | exceeds_scale
+    prune_mask = prune_mask & active
+
+    target_split = (target_points - n) + prune_mask.sum()
+    split_score = jnp.where(prune_mask, 0.0, pstate.split_score)
+    split_score = jnp.where(active, split_score, 0.0)
+    if min_split_px > 0:
+        split_score = jnp.where(
+            pstate.max_scale_px < min_split_px, 0.0, split_score)
+
+    split_mask = take_n_mask(split_score, target_split, descending=True)
+    split_mask = split_mask & (split_score > 0.0)
+
+    new_points, new_active, touched, dropped = G.apply_split_prune(
+        scene.points, active, split_mask, prune_mask, key)
+
+    refreshed = touched | (active & ~new_active)
+    scene = scene.replace(
+        points=new_points,
+        active=new_active,
+        point_opt=reset_slots(scene.point_opt, refreshed),
+        visible_acc=jnp.where(refreshed, 0.0, scene.visible_acc),
+    )
+    # reference resets ALL stats after densify (target_controller.py:122)
+    pstate = PointState.new_zeros(active.shape[0])
+
+    metrics = {
+        "n": new_active.sum(),
+        "prune": prune_mask.sum(),
+        "split": split_mask.sum(),
+        "dropped_children": dropped,
+        "unseen": (active & (pstate.prune_cost == 0)).sum(),
+    }
+    return scene, pstate, metrics
+
+
+class TargetController:
+    """Host-side schedule bookkeeping (when to densify + target counts)."""
+
+    def __init__(self, config: TargetConfig, start_points: int,
+                 target_points: int, progress: Progress):
+        self.config = config
+        self.start_points = start_points
+        self.max_points = target_points
+        self.next_densify = self.find_next_densify(progress)
+
+    def find_next_densify(self, progress: Progress):
+        interval = int(eval_varying(self.config.densify_prune_interval, progress.t))
+        nxt = progress.step + interval
+        return nxt if (nxt + interval < progress.total_steps) else None
+
+    def target_points(self, progress: Progress) -> int:
+        target_step = self.config.target_count_t * progress.total_steps
+        t = min(max(progress.step / max(target_step, 1), 0.0), 1.0)
+        return int(smoothstep(t, self.start_points, self.max_points))
+
+    def should_densify(self, progress: Progress) -> bool:
+        return self.next_densify is not None and progress.step >= self.next_densify
+
+    def densify_args(self, progress: Progress) -> dict:
+        """Traced args for densify_device; advances the schedule."""
+        self.next_densify = self.find_next_densify(progress)
+        return dict(t=progress.t, target_points=self.target_points(progress))
+
+    def state_dict(self) -> dict:
+        return dict(start_points=self.start_points, next_densify=self.next_densify)
+
+    def load_state_dict(self, state: dict):
+        self.start_points = state["start_points"]
+        self.next_densify = state["next_densify"]

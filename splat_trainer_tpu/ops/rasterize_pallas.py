@@ -4,20 +4,23 @@ TPU-native replacement for taichi-splatting's CUDA tile rasterizer
 (SURVEY.md N1/N2, §7.4 hard parts #1/#2). Architectural translation:
 
 - CUDA's per-pixel serial front-to-back loop becomes a **blockwise
-  associative composite**: each grid step processes a chunk of K
-  depth-sorted instances against all P = tile_size^2 pixels at once.
-  Transmittance is a product-scan along the chunk axis (Hillis-Steele on
-  sublanes), so the whole chunk is VPU/MXU work — no scalar loop.
-- Per-tile instance lists live in HBM (built by ops/tiling.py); the kernel
-  walks them chunk-by-chunk with manual async DMA and early-exits via
-  `lax.while_loop` once every pixel in the tile is saturated
-  (transmittance below threshold).
+  associative composite**: each inner step processes a chunk of K
+  depth-sorted instances against all P = tile_size^2 pixels at once, with
+  pixels on sublanes and instances on lanes. Transmittance is a
+  product-scan along the lane axis (Hillis-Steele), color accumulation is
+  an MXU contraction — no scalar loop anywhere.
+- Per-tile instance lists live in HBM as a **transposed (16, M) field
+  matrix** (fields on sublanes, instances on lanes) so chunk DMA slices are
+  lane-aligned (Mosaic requires 128-aligned slices on the minor dim).
+- The kernel walks each tile's instance range chunk-by-chunk with manual
+  async DMA and early-exits via `lax.while_loop` once every pixel in the
+  tile saturates (transmittance below threshold).
 - Per-instance outputs (visibility in fwd; parameter gradients + prune
   heuristic in bwd) are accumulated with read-modify-write DMA into
   zero-initialized buffers (input/output aliasing). Chunks are aligned to
   global K boundaries, so a boundary chunk shared by two consecutive tiles
   composes additively — the grid is sequential (`dimension_semantics =
-  arbitrary`), which makes RMW race-free.
+  arbitrary`), making RMW race-free.
 - Images are produced **tile-major** (num_tiles, 8, P): channels
   [r, g, b, T_final, median_ndc, unused...]. Conversion to (H, W, C) is a
   cheap XLA reshape outside the kernel (and outside the custom VJP, so the
@@ -31,7 +34,6 @@ kernel's correctness oracle).
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,52 +44,57 @@ from jax.experimental.pallas import tpu as pltpu
 from splat_trainer_tpu.core.types import RasterConfig
 from splat_trainer_tpu.ops.tiling import TileGrid
 
-# packed per-instance layout, (M, 16) f32:
+# packed per-instance field matrix, (16, M) f32 — rows:
 # [0] mean_x [1] mean_y [2] conic_a [3] conic_b [4] conic_c
 # [5] opacity [6:9] rgb [9] ndc depth [10:16] pad
-INST_COLS = 16
-# backward per-instance gradient layout, (M, 16) f32:
+INST_ROWS = 16
+# backward per-instance gradient matrix, (16, M) f32 — rows:
 # [0] d_mean_x [1] d_mean_y [2:5] d_conic [5] d_opacity [6:9] d_color
 # [9] prune_cost [10:16] pad
-GRAD_COLS = 16
+GRAD_ROWS = 16
 IMG_ROWS = 8  # [r, g, b, T_final, median_ndc, pad, pad, pad]
 
 
-def _row_iota(k: int, p: int):
-    return lax.broadcasted_iota(jnp.int32, (k, p), 0)
+def _col_iota(p: int, k: int):
+    return lax.broadcasted_iota(jnp.int32, (p, k), 1)
 
 
-def _scan_axis0(x, op, identity, k: int):
-    """Inclusive Hillis-Steele scan along sublane axis 0 (static K)."""
-    rows = _row_iota(k, x.shape[1])
+def _scan_lanes(x, op, identity, k: int):
+    """Inclusive Hillis-Steele scan along the lane axis 1 (static K)."""
+    cols = _col_iota(x.shape[0], k)
     s = 1
     while s < k:
-        shifted = pltpu.roll(x, shift=s, axis=0)
-        shifted = jnp.where(rows >= s, shifted, identity)
+        shifted = pltpu.roll(x, shift=s, axis=1)
+        shifted = jnp.where(cols >= s, shifted, identity)
         x = op(x, shifted)
         s *= 2
     return x
 
 
-def _shift_down1(x, identity, k: int):
-    """x[i-1] at row i; `identity` at row 0."""
-    rows = _row_iota(k, x.shape[1])
-    return jnp.where(rows >= 1, pltpu.roll(x, shift=1, axis=0), identity)
+def _shift_right1(x, identity, k: int):
+    """x[:, j-1] at column j; `identity` at column 0."""
+    cols = _col_iota(x.shape[0], k)
+    return jnp.where(cols >= 1, pltpu.roll(x, shift=1, axis=1), identity)
 
 
-def _chunk_geometry(data, px, py, start, end, off, valid_px, config: RasterConfig, k: int):
-    """Shared fwd/bwd per-chunk alpha computation. data: (K, 16)."""
-    mx, my = data[:, 0:1], data[:, 1:2]
-    ca, cb, cc = data[:, 2:3], data[:, 3:4], data[:, 4:5]
-    op = data[:, 5:6]
+def _chunk_geometry(data, px, py, start, end, off, valid_px,
+                    config: RasterConfig, k: int):
+    """Shared fwd/bwd per-chunk alpha computation.
 
-    dx = px - mx            # (K, P)
+    data: (16, K) field rows; px/py/valid_px: (P, 1).
+    Returns alpha (P, K) plus reusable intermediates.
+    """
+    mx, my = data[0:1, :], data[1:2, :]
+    ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
+    op = data[5:6, :]
+
+    dx = px - mx            # (P, K)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     expp = jnp.exp(power)
     alpha = jnp.minimum(op * expp, config.alpha_clamp)
 
-    ids = off + lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
     in_range = (ids >= start) & (ids < end)
     keep = (power <= 0.0) & (alpha >= config.alpha_threshold) & in_range & valid_px
     alpha = jnp.where(keep, alpha, 0.0)
@@ -95,11 +102,11 @@ def _chunk_geometry(data, px, py, start, end, off, valid_px, config: RasterConfi
 
 
 def _pixel_coords(t, grid: TileGrid, image_size):
-    """Pixel centers covered by tile t: px, py (1, P) and validity mask."""
+    """Pixel centers of tile t as (P, 1) columns + validity mask."""
     p = grid.tile_size * grid.tile_size
     tx = t % grid.ntx
     ty = t // grid.ntx
-    pix = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    pix = lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     ix = tx * grid.tile_size + pix % grid.tile_size
     iy = ty * grid.tile_size + pix // grid.tile_size
     px = ix.astype(jnp.float32) + 0.5
@@ -143,7 +150,8 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         i, T, rgb, med = carry
         off = (c0 + i) * k
 
-        cp = pltpu.make_async_copy(inst_ref.at[pl.ds(off, k), :], inst_buf, in_sem)
+        cp = pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, k)], inst_buf, in_sem)
         cp.start()
         cp.wait()
         data = inst_buf[:, :]
@@ -152,24 +160,23 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             data, px, py, start, end, off, valid_px, config, k)
 
         om = 1.0 - alpha
-        cum = _scan_axis0(om, lax.mul, 1.0, k)        # inclusive prod
-        T_excl = T * _shift_down1(cum, 1.0, k)
-        w = alpha * T_excl                            # (K, P)
+        cum = _scan_lanes(om, lax.mul, 1.0, k)        # inclusive product
+        T_excl = T * _shift_right1(cum, 1.0, k)       # (P, K)
+        w = alpha * T_excl
 
-        col = data[:, 6:9]                            # (K, 3)
+        col = data[6:9, :]                            # (3, K)
         rgb = rgb + lax.dot_general(
-            col, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            col, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
         A_after = 1.0 - T * cum
         A_before = 1.0 - T_excl
-        crossed = (A_after >= 0.5) & (A_before < 0.5)
-        med = med + jnp.sum(
-            jnp.where(crossed, data[:, 9:10], 0.0), axis=0, keepdims=True)
+        crossed = ((A_after >= 0.5) & (A_before < 0.5)).astype(jnp.float32)
+        med = med + lax.dot_general(
+            data[9:10, :], crossed, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (1, P)
 
         # per-instance visibility (1, K) — read-modify-write the slab
-        vis_chunk = lax.dot_general(
-            jnp.ones((1, p), jnp.float32), w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        vis_chunk = jnp.sum(w, axis=0, keepdims=True)
         rd = pltpu.make_async_copy(vis_ref.at[:, pl.ds(off, k)], vis_buf, vis_sem)
         rd.start()
         rd.wait()
@@ -178,15 +185,15 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         wr.start()
         wr.wait()
 
-        return i + 1, T * cum[k - 1:k, :], rgb, med
+        return i + 1, T * cum[:, k - 1:k], rgb, med
 
-    T0 = jnp.ones((1, p), jnp.float32)
+    T0 = jnp.ones((p, 1), jnp.float32)
     rgb0 = jnp.zeros((3, p), jnp.float32)
     med0 = jnp.zeros((1, p), jnp.float32)
     _, T, rgb, med = lax.while_loop(cond, body, (jnp.int32(0), T0, rgb0, med0))
 
     out_ref[0, 0:3, :] = rgb
-    out_ref[0, 3:4, :] = T
+    out_ref[0, 3:4, :] = T.reshape(1, p)
     out_ref[0, 4:5, :] = med
     out_ref[0, 5:8, :] = jnp.zeros((3, p), jnp.float32)
 
@@ -197,10 +204,10 @@ def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
 
     Args:
         tile_starts: (num_tiles + 1,) int32 instance ranges.
-        inst_data: (M, 16) f32 packed sorted instances.
-        Returns (tile_img (num_tiles, 8, P), inst_vis (1, M)).
+        inst_data: (16, M) f32 packed sorted instance field matrix.
+    Returns (tile_img (num_tiles, 8, P), inst_vis (1, M)).
     """
-    m = inst_data.shape[0]
+    m = inst_data.shape[1]
     p = grid.tile_size * grid.tile_size
     k = config.chunk_size
 
@@ -218,7 +225,7 @@ def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
             pl.BlockSpec(memory_space=pltpu.ANY),   # vis out
         ],
         scratch_shapes=[
-            pltpu.VMEM((k, INST_COLS), jnp.float32),
+            pltpu.VMEM((INST_ROWS, k), jnp.float32),
             pltpu.VMEM((1, k), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -253,6 +260,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 inst_buf, grad_buf, in_sem, grad_sem):
     del grad_zero_ref  # aliased to grad_ref
     k = config.chunk_size
+    p = grid.tile_size * grid.tile_size
     t = pl.program_id(0)
 
     start = starts_ref[t]
@@ -260,12 +268,12 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     px, py, valid_px = _pixel_coords(t, grid, image_size)
     c0, nch = _chunk_bounds(start, end, k)
 
-    g = ct_ref[0, 0:3, :]          # (3, P) image cotangent
-    ct_T = ct_ref[0, 3:4, :]       # (1, P) cotangent of final transmittance
+    g = ct_ref[0, 0:3, :]                         # (3, P) image cotangent
+    ct_T = ct_ref[0, 3:4, :].reshape(p, 1)        # final-transmittance cotangent
     Cfin = img_ref[0, 0:3, :]
-    Tfin = img_ref[0, 3:4, :]
-    F = jnp.sum(Cfin * g, axis=0, keepdims=True)          # (1, P)
-    gmag = jnp.sum(jnp.abs(g), axis=0, keepdims=True)     # (1, P)
+    Tfin = img_ref[0, 3:4, :].reshape(p, 1)
+    F = jnp.sum(Cfin * g, axis=0, keepdims=True).reshape(p, 1)
+    gmag = jnp.sum(jnp.abs(g), axis=0, keepdims=True).reshape(p, 1)
 
     def cond(carry):
         i, T, _S = carry
@@ -275,7 +283,8 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         i, T, S = carry
         off = (c0 + i) * k
 
-        cp = pltpu.make_async_copy(inst_ref.at[pl.ds(off, k), :], inst_buf, in_sem)
+        cp = pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, k)], inst_buf, in_sem)
         cp.start()
         cp.wait()
         data = inst_buf[:, :]
@@ -284,65 +293,67 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             data, px, py, start, end, off, valid_px, config, k)
 
         om = 1.0 - alpha
-        cum = _scan_axis0(om, lax.mul, 1.0, k)
-        T_excl = T * _shift_down1(cum, 1.0, k)
-        w = alpha * T_excl
+        cum = _scan_lanes(om, lax.mul, 1.0, k)
+        T_excl = T * _shift_right1(cum, 1.0, k)
+        w = alpha * T_excl                            # (P, K)
 
-        col = data[:, 6:9]
-        cg = lax.dot_general(col, g, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # (K, P)
+        col = data[6:9, :]                            # (3, K)
+        cg = lax.dot_general(g, col, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (P, K)
         wcg = w * cg
-        prefix = S + _scan_axis0(wcg, lax.add, 0.0, k)             # inclusive
+        prefix = S + _scan_lanes(wcg, lax.add, 0.0, k)             # inclusive
         Sg_after = F - prefix
 
         safe_om = jnp.maximum(om, 1e-6)
         d_alpha = T_excl * cg - Sg_after / safe_om
-        d_alpha = d_alpha - ct_T * Tfin / safe_om                  # dTfin/da_k = -Tfin/(1-a_k)
+        d_alpha = d_alpha - ct_T * Tfin / safe_om     # dTfin/da_k = -Tfin/(1-a_k)
         d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
 
         unclamped = alpha < config.alpha_clamp
         G = jnp.where(alpha > 0.0, expp, 0.0)
         d_al_u = jnp.where(unclamped, d_alpha, 0.0)
-        dop = jnp.sum(d_al_u * G, axis=1, keepdims=True)           # (K, 1)
-        dpow = d_al_u * alpha                                      # (K, P)
+        dop = jnp.sum(d_al_u * G, axis=0, keepdims=True)           # (1, K)
+        dpow = d_al_u * alpha                                      # (P, K)
 
-        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
-        dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=1, keepdims=True)
-        dca = jnp.sum(-0.5 * dpow * dx * dx, axis=1, keepdims=True)
-        dcb = jnp.sum(-dpow * dx * dy, axis=1, keepdims=True)
-        dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=1, keepdims=True)
-        dcol = lax.dot_general(w, g, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (K, 3)
-        prune = jnp.sum(w * gmag, axis=1, keepdims=True)
+        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0, keepdims=True)
+        dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=0, keepdims=True)
+        dca = jnp.sum(-0.5 * dpow * dx * dx, axis=0, keepdims=True)
+        dcb = jnp.sum(-dpow * dx * dy, axis=0, keepdims=True)
+        dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=0, keepdims=True)
+        dcol = lax.dot_general(g, w, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (3, K)
+        prune = jnp.sum(w * gmag, axis=0, keepdims=True)
 
-        # pack + read-modify-write the gradient slab
-        rd = pltpu.make_async_copy(grad_ref.at[pl.ds(off, k), :], grad_buf, grad_sem)
+        # pack + read-modify-write the gradient slab (16, K)
+        rd = pltpu.make_async_copy(
+            grad_ref.at[:, pl.ds(off, k)], grad_buf, grad_sem)
         rd.start()
         rd.wait()
-        grad_buf[:, 0:1] += dmx
-        grad_buf[:, 1:2] += dmy
-        grad_buf[:, 2:3] += dca
-        grad_buf[:, 3:4] += dcb
-        grad_buf[:, 4:5] += dcc
-        grad_buf[:, 5:6] += dop
-        grad_buf[:, 6:9] += dcol
-        grad_buf[:, 9:10] += prune
-        wr = pltpu.make_async_copy(grad_buf, grad_ref.at[pl.ds(off, k), :], grad_sem)
+        grad_buf[0:1, :] += dmx
+        grad_buf[1:2, :] += dmy
+        grad_buf[2:3, :] += dca
+        grad_buf[3:4, :] += dcb
+        grad_buf[4:5, :] += dcc
+        grad_buf[5:6, :] += dop
+        grad_buf[6:9, :] += dcol
+        grad_buf[9:10, :] += prune
+        wr = pltpu.make_async_copy(
+            grad_buf, grad_ref.at[:, pl.ds(off, k)], grad_sem)
         wr.start()
         wr.wait()
 
-        return i + 1, T * cum[k - 1:k, :], prefix[k - 1:k, :]
+        return i + 1, T * cum[:, k - 1:k], prefix[:, k - 1:k]
 
-    T0 = jnp.ones_like(ct_T)
-    S0 = jnp.zeros_like(ct_T)
+    T0 = jnp.ones((p, 1), jnp.float32)
+    S0 = jnp.zeros((p, 1), jnp.float32)
     lax.while_loop(cond, body, (jnp.int32(0), T0, S0))
 
 
 def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
                        grid: TileGrid, image_size, config: RasterConfig,
                        interpret: bool = False):
-    """Run the backward kernel. Returns per-instance gradients (M, 16)."""
-    m = inst_data.shape[0]
+    """Run the backward kernel. Returns per-instance gradients (16, M)."""
+    m = inst_data.shape[1]
     p = grid.tile_size * grid.tile_size
     k = config.chunk_size
 
@@ -362,18 +373,18 @@ def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k, INST_COLS), jnp.float32),
-            pltpu.VMEM((k, GRAD_COLS), jnp.float32),
+            pltpu.VMEM((INST_ROWS, k), jnp.float32),
+            pltpu.VMEM((GRAD_ROWS, k), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    grad_zero = jnp.zeros((m, GRAD_COLS), jnp.float32)
+    grad_zero = jnp.zeros((GRAD_ROWS, m), jnp.float32)
     (inst_grad,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((m, GRAD_COLS), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m), jnp.float32)],
         input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -67,8 +67,8 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         n = mean.shape[0]
         packed = jnp.concatenate([
             mean, conic, opacity[:, None], color, depth_ndc[:, None],
-            jnp.zeros((n, rasterize_pallas.INST_COLS - 10), jnp.float32),
-        ], axis=1)[inst.gaussian_id]
+            jnp.zeros((n, rasterize_pallas.INST_ROWS - 10), jnp.float32),
+        ], axis=1)[inst.gaussian_id].T  # (16, M) field matrix
 
         tile_img, inst_vis = rasterize_pallas.rasterize_forward(
             inst.tile_starts, packed, grid, image_size, config, interpret=interpret)
@@ -110,7 +110,7 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
 
         inst_grad = rasterize_pallas.rasterize_backward(
             tile_starts, packed, ct_tile, tile_img, grid, image_size, config,
-            interpret=interpret)
+            interpret=interpret).T  # (M, 16)
         inst_grad = jnp.where(valid[:, None], inst_grad, 0.0)
         seg = jax.ops.segment_sum(inst_grad, gid, num_segments=n)
 

@@ -25,17 +25,18 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 def _blur_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Separable valid-padding blur over (H, W, C)."""
     k = kernel.shape[0]
-    # horizontal: (H, W, C) -> (H, W-k+1, C)
+    c = x.shape[-1]
+    # depthwise separable: rhs (kh, kw, 1, C) with feature_group_count=C
     xh = jax.lax.conv_general_dilated(
-        x[None], kernel.reshape(1, k, 1, 1).repeat(x.shape[-1], axis=-2),
+        x[None], jnp.tile(kernel.reshape(1, k, 1, 1), (1, 1, 1, c)),
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=x.shape[-1])[0]
+        feature_group_count=c)[0]
     xv = jax.lax.conv_general_dilated(
-        xh[None], kernel.reshape(k, 1, 1, 1).repeat(x.shape[-1], axis=-2),
+        xh[None], jnp.tile(kernel.reshape(k, 1, 1, 1), (1, 1, 1, c)),
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=x.shape[-1])[0]
+        feature_group_count=c)[0]
     return xv
 
 
