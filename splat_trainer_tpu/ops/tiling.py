@@ -98,9 +98,14 @@ def expand_and_sort(
     inst = jnp.arange(M, dtype=jnp.int32)
     valid = inst < total
 
-    # instance -> owning gaussian (binary search over the cumsum)
-    gid = jnp.searchsorted(offsets, inst, side="right").astype(jnp.int32) - 1
-    gid = jnp.clip(gid, 0, offsets.shape[0] - 1)
+    # instance -> owning gaussian. A binary search (searchsorted) is ~50x
+    # slower on TPU than this scatter + cummax: each visible gaussian writes
+    # its id at its segment start; a running max broadcasts ids across
+    # segments (starts are strictly increasing for span > 0).
+    starts = jnp.where(span > 0, offsets, M)  # M = dropped by scatter
+    seg_marks = jnp.zeros((M,), jnp.int32).at[starts].max(
+        jnp.arange(span.shape[0], dtype=jnp.int32), mode="drop")
+    gid = jax.lax.cummax(seg_marks)
 
     # instance -> tile within the gaussian's rect
     r = inst - offsets[gid]
