@@ -12,15 +12,15 @@ TPU-native replacement for taichi-splatting's CUDA tile rasterizer
 - Per-tile instance lists live in HBM as a **transposed (16, M) field
   matrix** (fields on sublanes, instances on lanes) so chunk DMA slices are
   lane-aligned (Mosaic requires 128-aligned slices on the minor dim).
-- The kernel walks each tile's instance range chunk-by-chunk with manual
-  async DMA and early-exits via `lax.while_loop` once every pixel in the
-  tile saturates (transmittance below threshold).
+- The kernel walks each tile's range chunk-by-chunk with **double-buffered
+  async DMA** (chunk i+1 prefetched during chunk i's compute) and
+  early-exits via `lax.while_loop` once every pixel in the tile saturates.
 - Per-instance outputs (visibility in fwd; parameter gradients + prune
-  heuristic in bwd) are accumulated with read-modify-write DMA into
-  zero-initialized buffers (input/output aliasing). Chunks are aligned to
-  global K boundaries, so a boundary chunk shared by two consecutive tiles
-  composes additively — the grid is sequential (`dimension_semantics =
-  arbitrary`), making RMW race-free.
+  heuristic in bwd) are written chunk-by-chunk into zero-initialized
+  aliased buffers. Chunks are aligned to global K boundaries; only a
+  tile's *first* chunk can overlap the previous tile's last chunk, so only
+  that chunk does a read-merge — all others are pure writes. The grid is
+  sequential (`dimension_semantics = arbitrary`), making this race-free.
 - Images are produced **tile-major** (num_tiles, 8, P): channels
   [r, g, b, T_final, median_ndc, unused...]. Conversion to (H, W, C) is a
   cheap XLA reshape outside the kernel (and outside the custom VJP, so the
@@ -131,7 +131,7 @@ def _chunk_bounds(start, end, k: int):
 def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 starts_ref, inst_ref, vis_zero_ref,
                 out_ref, vis_ref,
-                inst_buf, vis_buf, in_sem, vis_sem):
+                inst_buf, vis_buf, vis_prev, in_sem, vis_sem, vis_prev_sem):
     del vis_zero_ref  # aliased to vis_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
@@ -142,6 +142,25 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     px, py, valid_px = _pixel_coords(t, grid, image_size)
     c0, nch = _chunk_bounds(start, end, k)
 
+    def inst_copy(i, slot):
+        off = (c0 + i) * k
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, k)], inst_buf.at[slot], in_sem.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        inst_copy(0, 0).start()
+
+    # previous tile's contribution to our (possibly shared) first chunk
+    vis_prev[:, :] = jnp.zeros((1, k), jnp.float32)
+
+    @pl.when(nch > 0)
+    def _():
+        rd = pltpu.make_async_copy(
+            vis_ref.at[:, pl.ds(c0 * k, k)], vis_prev, vis_prev_sem)
+        rd.start()
+        rd.wait()
+
     def cond(carry):
         i, T, _rgb, _med = carry
         return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
@@ -149,13 +168,15 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     def body(carry):
         i, T, rgb, med = carry
         off = (c0 + i) * k
+        slot = lax.rem(i, 2)
 
-        cp = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, k)], inst_buf, in_sem)
-        cp.start()
-        cp.wait()
-        data = inst_buf[:, :]
+        inst_copy(i, slot).wait()
 
+        @pl.when(i + 1 < nch)
+        def _():
+            inst_copy(i + 1, 1 - slot).start()
+
+        data = inst_buf[slot]
         alpha, _expp, _dx, _dy, _con = _chunk_geometry(
             data, px, py, start, end, off, valid_px, config, k)
 
@@ -175,13 +196,12 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             data[9:10, :], crossed, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (1, P)
 
-        # per-instance visibility (1, K) — read-modify-write the slab
-        vis_chunk = jnp.sum(w, axis=0, keepdims=True)
-        rd = pltpu.make_async_copy(vis_ref.at[:, pl.ds(off, k)], vis_buf, vis_sem)
-        rd.start()
-        rd.wait()
-        vis_buf[:, :] = vis_buf[:, :] + vis_chunk
-        wr = pltpu.make_async_copy(vis_buf, vis_ref.at[:, pl.ds(off, k)], vis_sem)
+        # per-instance visibility: merge the previous tile's boundary values
+        # into our first chunk; later chunks are exclusively ours
+        vis_buf[:, :] = jnp.sum(w, axis=0, keepdims=True) + vis_prev[:, :]
+        vis_prev[:, :] = jnp.zeros((1, k), jnp.float32)
+        wr = pltpu.make_async_copy(
+            vis_buf, vis_ref.at[:, pl.ds(off, k)], vis_sem)
         wr.start()
         wr.wait()
 
@@ -190,7 +210,12 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     T0 = jnp.ones((p, 1), jnp.float32)
     rgb0 = jnp.zeros((3, p), jnp.float32)
     med0 = jnp.zeros((1, p), jnp.float32)
-    _, T, rgb, med = lax.while_loop(cond, body, (jnp.int32(0), T0, rgb0, med0))
+    i_end, T, rgb, med = lax.while_loop(cond, body, (jnp.int32(0), T0, rgb0, med0))
+
+    # drain the in-flight prefetch if the loop exited early
+    @pl.when(i_end < nch)
+    def _():
+        inst_copy(i_end, lax.rem(i_end, 2)).wait()
 
     out_ref[0, 0:3, :] = rgb
     out_ref[0, 3:4, :] = T.reshape(1, p)
@@ -225,8 +250,10 @@ def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
             pl.BlockSpec(memory_space=pltpu.ANY),   # vis out
         ],
         scratch_shapes=[
-            pltpu.VMEM((INST_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, INST_ROWS, k), jnp.float32),
             pltpu.VMEM((1, k), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -257,7 +284,7 @@ def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
 def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 starts_ref, inst_ref, ct_ref, img_ref, grad_zero_ref,
                 grad_ref,
-                inst_buf, grad_buf, in_sem, grad_sem):
+                inst_buf, grad_buf, grad_prev, in_sem, grad_sem, grad_prev_sem):
     del grad_zero_ref  # aliased to grad_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
@@ -267,6 +294,24 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     end = starts_ref[t + 1]
     px, py, valid_px = _pixel_coords(t, grid, image_size)
     c0, nch = _chunk_bounds(start, end, k)
+
+    def inst_copy(i, slot):
+        off = (c0 + i) * k
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, k)], inst_buf.at[slot], in_sem.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        inst_copy(0, 0).start()
+
+    grad_prev[:, :] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
+
+    @pl.when(nch > 0)
+    def _():
+        rd = pltpu.make_async_copy(
+            grad_ref.at[:, pl.ds(c0 * k, k)], grad_prev, grad_prev_sem)
+        rd.start()
+        rd.wait()
 
     g = ct_ref[0, 0:3, :]                         # (3, P) image cotangent
     ct_T = ct_ref[0, 3:4, :].reshape(p, 1)        # final-transmittance cotangent
@@ -282,13 +327,15 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     def body(carry):
         i, T, S = carry
         off = (c0 + i) * k
+        slot = lax.rem(i, 2)
 
-        cp = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, k)], inst_buf, in_sem)
-        cp.start()
-        cp.wait()
-        data = inst_buf[:, :]
+        inst_copy(i, slot).wait()
 
+        @pl.when(i + 1 < nch)
+        def _():
+            inst_copy(i + 1, 1 - slot).start()
+
+        data = inst_buf[slot]
         alpha, expp, dx, dy, (ca, cb, cc) = _chunk_geometry(
             data, px, py, start, end, off, valid_px, config, k)
 
@@ -324,19 +371,20 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                                preferred_element_type=jnp.float32)  # (3, K)
         prune = jnp.sum(w * gmag, axis=0, keepdims=True)
 
-        # pack + read-modify-write the gradient slab (16, K)
-        rd = pltpu.make_async_copy(
-            grad_ref.at[:, pl.ds(off, k)], grad_buf, grad_sem)
-        rd.start()
-        rd.wait()
-        grad_buf[0:1, :] += dmx
-        grad_buf[1:2, :] += dmy
-        grad_buf[2:3, :] += dca
-        grad_buf[3:4, :] += dcb
-        grad_buf[4:5, :] += dcc
-        grad_buf[5:6, :] += dop
-        grad_buf[6:9, :] += dcol
-        grad_buf[9:10, :] += prune
+        # pack the gradient slab; merge the previous tile's boundary values
+        # into our first chunk, then pure writes
+        grad_buf[0:1, :] = dmx
+        grad_buf[1:2, :] = dmy
+        grad_buf[2:3, :] = dca
+        grad_buf[3:4, :] = dcb
+        grad_buf[4:5, :] = dcc
+        grad_buf[5:6, :] = dop
+        grad_buf[6:9, :] = dcol
+        grad_buf[9:10, :] = prune
+        grad_buf[10:16, :] = jnp.zeros((6, k), jnp.float32)
+        grad_buf[:, :] = grad_buf[:, :] + grad_prev[:, :]
+        grad_prev[:, :] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
+
         wr = pltpu.make_async_copy(
             grad_buf, grad_ref.at[:, pl.ds(off, k)], grad_sem)
         wr.start()
@@ -346,7 +394,11 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
 
     T0 = jnp.ones((p, 1), jnp.float32)
     S0 = jnp.zeros((p, 1), jnp.float32)
-    lax.while_loop(cond, body, (jnp.int32(0), T0, S0))
+    i_end, _T, _S = lax.while_loop(cond, body, (jnp.int32(0), T0, S0))
+
+    @pl.when(i_end < nch)
+    def _():
+        inst_copy(i_end, lax.rem(i_end, 2)).wait()
 
 
 def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
@@ -373,8 +425,10 @@ def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((INST_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, INST_ROWS, k), jnp.float32),
             pltpu.VMEM((GRAD_ROWS, k), jnp.float32),
+            pltpu.VMEM((GRAD_ROWS, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
