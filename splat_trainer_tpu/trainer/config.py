@@ -1,0 +1,86 @@
+"""Trainer configuration.
+
+Capability equivalent of /root/reference/splat_trainer/trainer/config.py:
+26-85 (TrainConfig, CloudInitConfig) with TPU-specific additions
+(rasterizer capacity/backend knobs).
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+from splat_trainer_tpu.controller import DisabledConfig, MCMCConfig, TargetConfig
+from splat_trainer_tpu.core.types import RasterConfig
+from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
+from splat_trainer_tpu.trainer.init import CloudInitConfig
+from splat_trainer_tpu.trainer.view_selection import (
+    BatchOverlapSamplerConfig, RandomSamplerConfig, TargetOverlapConfig,
+)
+
+ControllerConfig = Union[TargetConfig, MCMCConfig, DisabledConfig]
+ViewSelectionConfig = Union[RandomSamplerConfig, BatchOverlapSamplerConfig,
+                            TargetOverlapConfig]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    scene: MLPSceneConfig = field(default_factory=MLPSceneConfig)
+    controller: ControllerConfig = field(default_factory=TargetConfig)
+    view_selection: ViewSelectionConfig = field(default_factory=RandomSamplerConfig)
+    cloud_init: CloudInitConfig = field(default_factory=CloudInitConfig)
+
+    # schedule
+    total_steps: int = 10_000
+    eval_steps: int = 1_000
+    log_interval: int = 10
+    target_points: int = 1_000_000
+
+    # abort thresholds (reference trainer.py:592-653)
+    min_step_rate: Optional[float] = None
+    max_ssim_regression: float = 0.05
+
+    # evaluation / logging
+    num_logged_images: int = 8
+    log_worst_images: int = 2
+    log_details: bool = False
+    log_images: bool = True
+    vis_clusters: int = 1024
+
+    # losses
+    ssim_weight: float = 1.0
+    mse_weight: float = 10.0
+    l1_weight: float = 0.0
+    ssim_levels: int = 3
+
+    # renderer
+    antialias: bool = False
+    blur_cov: float = 0.3
+    tile_size: int = 16
+    max_instances: int = 1 << 21
+    chunk_size: int = 128
+    raster_backend: str = "auto"
+
+    # capacity headroom over target_points (static allocation)
+    capacity_margin: float = 1.05
+
+    # output
+    save_checkpoints: bool = False
+    save_output: bool = True
+    seed: int = 0
+
+    def raster_config(self, render_median_depth: bool = False) -> RasterConfig:
+        return RasterConfig(
+            tile_size=self.tile_size,
+            blur_cov=0.0 if self.antialias else self.blur_cov,
+            antialias=self.antialias,
+            max_instances=self.max_instances,
+            chunk_size=self.chunk_size,
+            backend=self.raster_backend,
+            render_median_depth=render_median_depth,
+        )
+
+    @property
+    def capacity(self) -> int:
+        from splat_trainer_tpu.utils.misc import next_multiple
+        base = max(self.target_points,
+                   self.cloud_init.initial_points or 0)
+        return next_multiple(int(base * self.capacity_margin), 256)

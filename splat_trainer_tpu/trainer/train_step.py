@@ -32,8 +32,12 @@ from splat_trainer_tpu.ops.ssim import multiscale_ssim_loss
 
 
 class TrainBatch(NamedTuple):
-    """One gradient-step batch of images (B static)."""
-    images: jax.Array           # (B, H, W, 3) float in [0, 1]
+    """One gradient-step batch of images (B static).
+
+    Images may be uint8 (cheap host->device transfer; converted to [0,1]
+    f32 on device, mirroring reference load_data trainer.py:548-556).
+    """
+    images: jax.Array           # (B, H, W, 3) uint8 or float in [0, 1]
     image_idx: jax.Array        # (B,) int32 — index into the camera table / GLO
     T_camera_world: jax.Array   # (B, 4, 4)
     projection: jax.Array       # (B, 4)
@@ -89,6 +93,10 @@ def train_step(
     """One full training step. jit with donate_argnums=(0, 1)."""
     B = batch.images.shape[0]
     cap = scene.capacity
+
+    if batch.images.dtype == jnp.uint8:
+        batch = batch._replace(
+            images=batch.images.astype(jnp.float32) / 255.0)
 
     def loss_fn(params: ms.SceneGrads, heur_sink):
         scene_p = ms.with_params(scene, params)

@@ -1,0 +1,531 @@
+"""Training orchestration: init, hot loop, evaluation, checkpoints, aborts.
+
+Capability equivalent of /root/reference/splat_trainer/trainer/
+trainer.py:71-713, restructured around one jitted train step
+(trainer/train_step.py): the host loop only selects views, feeds batches,
+runs the (rare) densify program, evaluates, checkpoints, and watches for
+failure (SURVEY.md §7.1 decision 1).
+"""
+
+import functools
+import json
+import os
+import time
+from collections import deque
+from dataclasses import replace
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splat_trainer_tpu.config import Progress
+from splat_trainer_tpu.controller.point_state import PointState
+from splat_trainer_tpu.controller.target import TargetConfig, densify_device
+from splat_trainer_tpu.controller.mcmc import (
+    MCMCConfig, mcmc_noise_step, mcmc_prune_split,
+)
+from splat_trainer_tpu.core.types import CameraParams, Rendering
+from splat_trainer_tpu.data.dataset import Dataset, ImageView
+from splat_trainer_tpu.logger import Logger, LoggerWithState, NullLogger
+from splat_trainer_tpu.models import mlp_scene as ms
+from splat_trainer_tpu.trainer import checkpoint as ckpt
+from splat_trainer_tpu.trainer import exception
+from splat_trainer_tpu.trainer.config import TrainConfig
+from splat_trainer_tpu.trainer.evaluation import Evaluation
+from splat_trainer_tpu.trainer.init import get_initial_gaussians
+from splat_trainer_tpu.trainer.loading import ThreadedLoader
+from splat_trainer_tpu.trainer.train_step import TrainBatch, make_hyper, train_step
+from splat_trainer_tpu.utils.misc import Heap, format_dict
+from splat_trainer_tpu.visibility import cluster
+
+
+class TrainerState:
+    Stopped = "stopped"
+    Training = "training"
+    Paused = "paused"
+
+
+def check_finite_tree(tree, name: str):
+    """NaN sweep over a pytree (reference count_nonfinite, trainer.py:580-586)."""
+    bad = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            n = int(jnp.size(leaf) - jnp.isfinite(leaf).sum())
+            if n:
+                bad[f"{name}{jax.tree_util.keystr(path)}"] = n
+    return bad
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, scene: ms.SceneState,
+                 pstate: PointState, dataset: Dataset, logger: Logger,
+                 controller, view_selection, step: int = 0,
+                 evaluation_log: Optional[list] = None,
+                 view_clustering: Optional[cluster.ViewClustering] = None):
+        self.config = config
+        self.scene = scene
+        self.pstate = pstate
+        self.dataset = dataset
+        self.camera_table = dataset.camera_table
+        self.controller = controller
+        self.view_selection = view_selection
+
+        if not isinstance(logger, LoggerWithState):
+            logger = LoggerWithState(logger)
+        self.logger = logger
+
+        self.step = step
+        self.last_checkpoint = step
+        self.state = TrainerState.Stopped
+        self.view_clustering = view_clustering
+        self.evaluation_log = evaluation_log or []
+
+        self.running_time: deque = deque(maxlen=10)
+        self.last_time = None
+        self.loader = None
+        self.pbar = None
+        self.on_update: List[Callable] = []   # viewer hooks (pydispatch equiv)
+
+        self._rng = np.random.RandomState(config.seed)
+        self._key = jax.random.PRNGKey(config.seed)
+
+        self._train_step = jax.jit(
+            functools.partial(
+                train_step,
+                scene_config=config.scene,
+                raster_config=config.raster_config(),
+                image_size=self.camera_table.image_size,
+                ssim_levels=config.ssim_levels,
+            ),
+            donate_argnums=(0, 1),
+        )
+        self._densify = None  # built lazily per controller type
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def initialize(config: TrainConfig, dataset: Dataset, logger: Logger):
+        key = jax.random.PRNGKey(config.seed)
+        k_init, k_scene = jax.random.split(key)
+
+        initial = get_initial_gaussians(
+            config.cloud_init, dataset.camera_table, dataset.pointcloud(), k_init)
+        scene = ms.init_scene(
+            k_scene, config.scene, initial, dataset.camera_table.num_images,
+            capacity=config.capacity)
+        pstate = PointState.new_zeros(scene.capacity)
+
+        progress = Progress(step=0, total_steps=config.total_steps)
+        controller = config.controller.make_controller(
+            initial.num_points, config.target_points, progress)
+        view_selection = config.view_selection.create(
+            dataset.camera_table.train_indices(), seed=config.seed)
+
+        trainer = Trainer(config, scene, pstate, dataset, logger, controller,
+                          view_selection)
+
+        if config.save_output:
+            paths = trainer.paths()
+            trainer.write_cameras(paths.cameras)
+        return trainer
+
+    @staticmethod
+    def from_state_dict(config: TrainConfig, dataset: Dataset, logger: Logger,
+                        state: dict) -> "Trainer":
+        scene, pstate, host = state["scene"], state["pstate"], state["host"]
+        step = host["step"]
+        progress = Progress(step=step, total_steps=config.total_steps)
+        controller = config.controller.make_controller(
+            host["controller"].get("start_points", int(scene.active.sum())),
+            config.target_points, progress)
+        controller.load_state_dict(host["controller"])
+        view_selection = config.view_selection.create(
+            dataset.camera_table.train_indices(), seed=config.seed)
+        view_selection.load_state_dict(host["view_selection"])
+
+        vc = None
+        if host.get("view_clustering") is not None:
+            vc = cluster.ViewClustering.from_state_dict(host["view_clustering"])
+
+        return Trainer(config, scene, pstate, dataset, logger, controller,
+                       view_selection, step=step,
+                       evaluation_log=host.get("evaluation_log"),
+                       view_clustering=vc)
+
+    def state_dict(self) -> dict:
+        host = dict(
+            step=self.step,
+            controller=self.controller.state_dict(),
+            view_selection=self.view_selection.state_dict(),
+            view_clustering=(self.view_clustering.state_dict()
+                             if self.view_clustering else None),
+            evaluation_log=self.evaluation_log,
+        )
+        return dict(scene=self.scene, pstate=self.pstate, host=host)
+
+    def clone(self) -> "Trainer":
+        return Trainer.from_state_dict(self.config, self.dataset,
+                                       self.logger, self.state_dict())
+
+    def replace(self, **config_changes) -> "Trainer":
+        config = replace(self.config, **config_changes)
+        return Trainer.from_state_dict(config, self.dataset, self.logger,
+                                       self.state_dict())
+
+    def update_config(self, **kwargs):
+        self.config = replace(self.config, **kwargs)
+
+    # -- paths / io ----------------------------------------------------------
+
+    @property
+    def output_path(self) -> Path:
+        return Path.cwd()
+
+    def paths(self, step: Optional[int] = None) -> SimpleNamespace:
+        step = self.step if step is None else step
+        paths = dict(
+            checkpoint=self.output_path / "checkpoint" / f"checkpoint_{step}",
+            point_cloud=(self.output_path / "point_cloud"
+                         / f"iteration_{step}" / "point_cloud.ply"),
+            cameras=self.output_path / "cameras.json",
+            workspace=self.output_path,
+        )
+        for p in paths.values():
+            p.parent.mkdir(parents=True, exist_ok=True)
+        return SimpleNamespace(**paths)
+
+    def write_cameras(self, path):
+        from splat_trainer_tpu.cameras.camera_table import camera_json
+        with open(path, "w") as f:
+            json.dump(camera_json(self.camera_table), f, indent=2, sort_keys=True)
+
+    def write_checkpoint(self):
+        paths = self.paths()
+        ckpt.save_checkpoint(paths.checkpoint, self.state_dict())
+        try:
+            from splat_trainer_tpu.models.io import write_gaussians
+            write_gaussians(paths.point_cloud, self.sh_gaussians(), with_sh=True)
+        except Exception as e:
+            self.print(f"ply export failed: {e}")
+        self.print(f"checkpoint saved to {paths.checkpoint}")
+
+    def sh_gaussians(self):
+        from splat_trainer_tpu.models.transfer_sh import scene_to_sh_gaussians
+        g = scene_to_sh_gaussians(self.scene, self.config.scene,
+                                  self.camera_table)
+        return self.dataset.to_original.transform_gaussians(g)
+
+    # -- rendering / evaluation ----------------------------------------------
+
+    @property
+    def progress(self) -> Progress:
+        return Progress(step=self.step, total_steps=self.config.total_steps,
+                        logging_step=self.is_logging_step)
+
+    @property
+    def is_logging_step(self) -> bool:
+        return self.step % self.config.log_interval == 0
+
+    def camera_params(self, idx: int) -> CameraParams:
+        return self.camera_table.camera_params(idx)
+
+    def render(self, camera: CameraParams, image_idx: Optional[int] = None,
+               **options) -> Rendering:
+        rcfg = self.config.raster_config(
+            render_median_depth=options.get("render_median_depth", False))
+        idx = None if image_idx is None else jnp.asarray(image_idx)
+        return ms.render(self.scene, self.config.scene, camera, idx, rcfg,
+                         specular_weight=options.get("specular_weight", 1.0))
+
+    def evaluate_image(self, view: ImageView) -> Evaluation:
+        camera = self.camera_params(view.image_idx)
+        rendering = self.render(camera, view.image_idx, render_median_depth=True)
+        source = jnp.asarray(view.image, jnp.float32) / 255.0
+        return Evaluation(view.filename, rendering, source)
+
+    def evaluate_training(self, name: str, views: Sequence[ImageView]):
+        """Eval + view-clustering rebuild (reference trainer.py:327-371)."""
+        worst = Heap(self.config.log_worst_images)
+        metrics = {}
+        point_clusters = cluster.PointClusters.cluster(
+            self.scene.points["position"], self.config.vis_clusters,
+            active=self.scene.active, key=self._next_key())
+
+        features = []
+        log_idx = set(self._rng.choice(
+            len(views), min(self.config.num_logged_images, len(views)),
+            replace=False))
+        point_visible = np.zeros(self.scene.capacity, np.int32)
+
+        for i, view in enumerate(views):
+            ev = self.evaluate_image(view)
+            metrics[view.filename] = ev.metrics
+            worst.push(-ev.psnr, ev)
+            vis = ev.rendering.points.visibility
+            features.append(point_clusters.view_features(vis))
+            point_visible += np.asarray(vis > 0, np.int32)
+            if i in log_idx:
+                self.log_evaluation_images(f"{name}_images/{ev.image_id}", ev,
+                                           log_source=self.step == 0)
+
+        for j, (_v, ev) in enumerate(worst):
+            self.log_evaluation_images(f"{name}_images/worst_{j}", ev,
+                                       log_source=True)
+
+        self.logger.log_histogram(f"eval_{name}/points_visible", point_visible)
+        self.log_evaluation_table(name, metrics)
+        self.view_clustering = cluster.ViewClustering(
+            point_clusters, jnp.stack(features))
+
+    def evaluate_dataset(self, name: str, views: Sequence[ImageView]):
+        metrics, metrics_cc = {}, {}
+        log_idx = set(self._rng.choice(
+            len(views), min(self.config.num_logged_images, len(views)),
+            replace=False)) if views else set()
+        for i, view in enumerate(views):
+            ev = self.evaluate_image(view)
+            ev_cc = ev.color_corrected()
+            metrics[view.filename] = ev.metrics
+            metrics_cc[view.filename] = ev_cc.metrics
+            if i in log_idx:
+                self.log_evaluation_images(f"{name}_images/{ev.image_id}", ev_cc,
+                                           log_source=self.step == 0)
+        self.log_evaluation_table(name, metrics)
+        self.log_evaluation_table(f"{name}_cc", metrics_cc)
+
+    def log_evaluation_images(self, name: str, ev: Evaluation,
+                              log_source: bool = True):
+        if not self.config.log_images:
+            return
+        from splat_trainer_tpu.utils.colorize import colorize
+        self.logger.log_image(
+            f"{name}/render", np.asarray(ev.rendering.image),
+            caption=f"{ev.filename} PSNR={ev.psnr:.3f} ssim={ev.ssim:.3f}")
+        if ev.rendering.median_ndc_image is not None:
+            self.logger.log_image(
+                f"{name}/depth", colorize(np.asarray(ev.rendering.median_ndc_image)),
+                caption=ev.filename)
+        if log_source:
+            self.logger.log_image(f"{name}/image", np.asarray(ev.source_image),
+                                  caption=ev.filename)
+
+    def log_evaluation_table(self, name: str, metrics: dict):
+        self.logger.log_evaluations(f"eval_{name}/evals", metrics)
+        if not metrics:
+            return
+        keys = next(iter(metrics.values())).keys()
+        for k in keys:
+            vals = [m[k] for m in metrics.values()]
+            self.logger.log_value(f"eval_{name}/{k}", float(np.mean(vals)))
+            self.logger.log_histogram(f"eval_{name}/{k}_hist", np.asarray(vals))
+
+    def evaluate(self) -> dict:
+        self.print(f"evaluating at step {self.step}")
+        self.evaluate_training("train", self.dataset.train(shuffle=False))
+        val = self.dataset.val()
+        if len(val) > 0:
+            self.evaluate_dataset("val", val)
+        means = self.eval_metrics()
+        n = int(self.scene.active.sum())
+        self.print(f"step={self.step:<6d} n={n:<8d} {format_dict(means)}")
+        return means
+
+    def eval_metrics(self, names=("ssim", "psnr")) -> dict:
+        result = {}
+        for category in ("train", "val", "val_cc"):
+            key = f"eval_{category}"
+            if key in self.logger:
+                vals = self.logger[key]
+                result.update({f"{category}_{k}": v.value
+                               for k, v in vals.items() if k in names})
+        return result
+
+    # -- training loop --------------------------------------------------------
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def make_batch(self, views: List[ImageView]) -> TrainBatch:
+        idx = jnp.asarray([v.image_idx for v in views])
+        t, proj, near, far = self.camera_table.gather_batch(idx)
+        images = jnp.asarray(np.stack([v.image for v in views]))
+        return TrainBatch(images=images, image_idx=idx, T_camera_world=t,
+                          projection=proj, near=near, far=far)
+
+    def iter_batches(self):
+        while True:
+            batch_idx = self.view_selection.select_images(
+                self.view_clustering, self.progress)
+            yield self.make_batch(self.dataset.loader(batch_idx))
+
+    def training_step(self, batch: TrainBatch):
+        self.step += int(batch.images.shape[0])
+        hyper = make_hyper(self.config.scene, self.config, self.progress.t)
+        self.scene, self.pstate, metrics = self._train_step(
+            self.scene, self.pstate, batch, hyper, self._next_key())
+        if self.is_logging_step:
+            self._log_step_metrics(metrics)
+        self.logger.step(self.progress)
+
+    def _log_step_metrics(self, m):
+        num_visible = int(m.num_visible)
+        if num_visible == 0:
+            raise exception.TrainingException(
+                "No visible points — check training parameters or camera poses")
+        self.logger.log_values("train/loss", dict(
+            total=float(m.total),
+            **{k: float(v) for k, v in m.reg.items()}))
+        psnr = float(m.psnr)
+        self.logger.log_values("train/metrics", dict(
+            l1=float(m.l1), mse=float(m.mse), ssim=float(m.ssim), psnr=psnr))
+        clipped = int(m.clipped_instances)
+        if clipped > 0:
+            self.logger.log_value("train/clipped_instances", clipped)
+
+    def controller_step(self):
+        cfg = self.config.controller
+        ctl = self.controller
+        if isinstance(cfg, TargetConfig):
+            if ctl.should_densify(self.progress):
+                args = ctl.densify_args(self.progress)
+                self.scene, self.pstate, metrics = jax.jit(functools.partial(
+                    densify_device,
+                    prune_rate=cfg.prune_rate, min_views=cfg.min_views,
+                    max_scale_px=cfg.max_scale_px, min_split_px=cfg.min_split_px,
+                ), donate_argnums=(0, 1))(
+                    self.scene, self.pstate, self._next_key(),
+                    t=jnp.float32(args["t"]),
+                    target_points=jnp.int32(args["target_points"]))
+                self.logger.log_values(
+                    "densify", {k: int(v) for k, v in metrics.items()})
+        elif isinstance(cfg, MCMCConfig):
+            if ctl.should_densify(self.progress):
+                self.scene, self.pstate, metrics = jax.jit(functools.partial(
+                    mcmc_prune_split,
+                    opacity_threshold=cfg.opacity_threshold,
+                    max_scale_px=cfg.max_scale_px,
+                    min_split_px=cfg.min_split_px), donate_argnums=(0, 1))(
+                    self.scene, self.pstate, self._next_key())
+                self.logger.log_values(
+                    "densify", {k: int(v) for k, v in metrics.items()})
+            else:
+                self.scene = jax.jit(functools.partial(
+                    mcmc_noise_step,
+                    opacity_threshold=cfg.opacity_threshold,
+                    min_views=cfg.min_views), donate_argnums=(0,))(
+                    self.scene, self.pstate, self._next_key(),
+                    noise_level=jnp.float32(ctl.noise_level(self.progress)))
+
+    def checkpoint(self, save: bool = True):
+        bad = check_finite_tree(
+            {"points": self.scene.points, "color": self.scene.color_params,
+             "glo": self.scene.glo_table}, "scene")
+        if bad:
+            raise exception.NaNParameterException(
+                f"Non-finite entries detected: {bad}")
+
+        metrics = self.evaluate()
+
+        if len(self.evaluation_log) > 0 and "train_ssim" in metrics:
+            ssim = metrics["train_ssim"]
+            initial = self.evaluation_log[0].get("train_ssim", -1)
+            prev = self.evaluation_log[-1].get("train_ssim", -1)
+            if ssim < initial:
+                raise exception.NoProgressException(
+                    "ssim fell below the untrained value")
+            if prev > ssim + self.config.max_ssim_regression:
+                raise exception.NoProgressException(
+                    f"ssim regression {prev:.4f} -> {ssim:.4f} exceeds "
+                    f"{self.config.max_ssim_regression}")
+
+        self.evaluation_log.append(dict(step=self.step, **metrics))
+        if save and self.config.save_output:
+            self.write_checkpoint()
+        self.last_checkpoint = self.step
+        return metrics
+
+    def update_progress(self):
+        now = time.time()
+        if self.pbar is not None:
+            self.pbar.update(self.step - self.pbar.n)
+            self.pbar.set_postfix_str(" ".join(self.pbar_metrics()))
+        if self.last_time is not None:
+            self.running_time.append(now - self.last_time)
+            step_rate = self.config.log_interval / np.mean(self.running_time)
+            self.logger.log_value("train/step_rate", step_rate)
+            if (self.config.min_step_rate is not None
+                    and len(self.running_time) == self.running_time.maxlen
+                    and step_rate < self.config.min_step_rate):
+                raise exception.TrainingTimeoutException(
+                    f"step rate {step_rate:.3f} < {self.config.min_step_rate}")
+        self.last_time = now
+
+    def pbar_metrics(self) -> list:
+        desc = []
+        if "densify" in self.logger:
+            d = self.logger["densify"]
+            desc.append(f"points(+{d['split'].value} -{d['prune'].value} "
+                        f"= {d['n'].value})")
+        if "train/metrics" in self.logger:
+            m = self.logger["train/metrics"]
+            desc.append(f"ssim:{m['ssim'].value:.3f} psnr:{m['psnr'].value:.3f}")
+        return desc
+
+    def print(self, s: str):
+        if self.pbar is not None:
+            self.pbar.write(s)
+        else:
+            print(s)
+
+    def set_paused(self, paused: bool):
+        self.state = TrainerState.Paused if paused else TrainerState.Training
+
+    def is_training(self):
+        return self.state in (TrainerState.Training, TrainerState.Paused)
+
+    def emit_update(self):
+        for hook in self.on_update:
+            hook()
+
+    def train(self, state=TrainerState.Training) -> dict:
+        from tqdm import tqdm
+        self.state = state
+        self.dataset.load_images()
+        self.checkpoint(self.config.save_checkpoints)
+
+        self.print(f"training for {self.config.total_steps - self.step} steps, "
+                   f"eval every {self.config.eval_steps}")
+        self.loader = ThreadedLoader(self.iter_batches())
+        self.pbar = tqdm(initial=self.step, total=self.config.total_steps,
+                         desc=self.state,
+                         disable=bool(os.environ.get("TQDM_DISABLE")))
+
+        while self.step < self.config.total_steps:
+            batch = self.loader.next()
+            self.training_step(batch)
+
+            if self.last_checkpoint + self.config.eval_steps <= self.step:
+                self.checkpoint(self.config.save_checkpoints
+                                or self.step == self.config.total_steps)
+                self.last_time = None
+
+            self.controller_step()
+
+            if self.is_logging_step:
+                self.emit_update()
+                while self.state == TrainerState.Paused:
+                    time.sleep(0.1)
+                self.update_progress()
+
+        self.state = TrainerState.Stopped
+        self.pbar.close()
+        return self.eval_metrics()
+
+    def close(self):
+        self.logger.close()
+        if self.loader is not None:
+            self.loader.stop()
