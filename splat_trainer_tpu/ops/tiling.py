@@ -105,7 +105,7 @@ def expand_and_sort(
     starts = jnp.where(span > 0, offsets, M)  # M = dropped by scatter
     seg_marks = jnp.zeros((M,), jnp.int32).at[starts].max(
         jnp.arange(span.shape[0], dtype=jnp.int32), mode="drop")
-    gid = jax.lax.associative_scan(jnp.maximum, seg_marks)
+    gid = jax.lax.cummax(seg_marks)
 
     # instance -> tile within the gaussian's rect
     r = inst - offsets[gid]

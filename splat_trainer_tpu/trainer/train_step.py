@@ -78,19 +78,30 @@ def compute_losses(image, ref, hyper, ssim_levels: int):
     return total, dict(l1=l1, mse=mse, ssim=ssim_metric, psnr=psnr)
 
 
-def train_step(
+@struct.dataclass
+class GradBundle:
+    """Everything produced by the differentiated phase — additive across
+    images/devices (psum'd by the data-parallel path before apply_updates)."""
+    grads: ms.SceneGrads
+    heur: jax.Array             # (C, 2) [split_score, prune_cost]
+    vis_acc: jax.Array          # (C,)
+    in_view_any: jax.Array      # (C,) bool (max-combined)
+    scale_max: jax.Array        # (C, 2) (max-combined)
+    glo_rows: jax.Array         # (num_images,) bool (or-combined)
+    metrics: Dict
+
+
+def batch_gradients(
     scene: ms.SceneState,
-    pstate: PointState,
     batch: TrainBatch,
     hyper: Dict,
-    key: jax.Array,
     *,
     scene_config: ms.MLPSceneConfig,
     raster_config: RasterConfig,
     image_size: Tuple[int, int],
     ssim_levels: int = 3,
-) -> Tuple[ms.SceneState, PointState, StepMetrics]:
-    """One full training step. jit with donate_argnums=(0, 1)."""
+) -> GradBundle:
+    """Differentiated phase: renders + losses + grads for a (sub)batch."""
     B = batch.images.shape[0]
     cap = scene.capacity
 
@@ -146,8 +157,6 @@ def train_step(
     grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
     (grads, heur), (vis_acc, metrics, aux_renders) = grad_fn(params, heur_sink)
 
-    split_score, prune_cost = heur[:, 0], heur[:, 1]
-
     # controller statistics (reference scene/controller add_rendering)
     in_view_any = jnp.zeros((cap,), bool)
     scale_max = jnp.zeros((cap, 2), jnp.float32)
@@ -156,32 +165,68 @@ def train_step(
         scale_max = jnp.maximum(scale_max, jnp.where(
             r["in_view"][:, None], r["screen_scale"], 0.0))
 
-    pstate = pstate.add_rendering(
-        in_view=in_view_any,
-        visibility=vis_acc,
-        screen_scale=scale_max,
-        split_score=split_score,
-        prune_cost=prune_cost,
-    )
-
-    # optimizer step (visibility-aware; one step per batch)
-    scene = scene.replace(visible_acc=vis_acc)
     glo_rows = jnp.zeros((scene.glo_table.shape[0],), bool
                          ).at[batch.image_idx].set(True)
-    scene = ms.scene_step(scene, grads, scene_config, hyper["lrs"], glo_rows)
 
+    return GradBundle(grads=grads, heur=heur, vis_acc=vis_acc,
+                      in_view_any=in_view_any, scale_max=scale_max,
+                      glo_rows=glo_rows, metrics=metrics)
+
+
+def apply_updates(
+    scene: ms.SceneState,
+    pstate: PointState,
+    bundle: GradBundle,
+    hyper: Dict,
+    scene_config: ms.MLPSceneConfig,
+) -> Tuple[ms.SceneState, PointState, StepMetrics]:
+    """Non-differentiated phase: statistics + one optimizer step."""
+    metrics = bundle.metrics
+
+    pstate = pstate.add_rendering(
+        in_view=bundle.in_view_any,
+        visibility=bundle.vis_acc,
+        screen_scale=bundle.scale_max,
+        split_score=bundle.heur[:, 0],
+        prune_cost=bundle.heur[:, 1],
+    )
+
+    scene = scene.replace(visible_acc=bundle.vis_acc)
+    scene = ms.scene_step(scene, bundle.grads, scene_config, hyper["lrs"],
+                          bundle.glo_rows)
+
+    total = (hyper["l1_weight"] * metrics["l1"]
+             + hyper["mse_weight"] * metrics["mse"]
+             + hyper["ssim_weight"] * (1 - metrics["ssim"])
+             + sum(metrics["reg"].values()))
     step_metrics = StepMetrics(
         l1=metrics["l1"], mse=metrics["mse"], ssim=metrics["ssim"],
-        psnr=metrics["psnr"], reg=metrics["reg"],
-        total=metrics["l1"] * 0 + metrics["mse"],  # placeholder, replaced below
+        psnr=metrics["psnr"], reg=metrics["reg"], total=total,
         num_visible=metrics["num_visible"],
         clipped_instances=metrics["clipped"],
     )
-    total = (hyper["l1_weight"] * metrics["l1"] + hyper["mse_weight"] * metrics["mse"]
-             + hyper["ssim_weight"] * (1 - metrics["ssim"])
-             + sum(metrics["reg"].values()))
-    step_metrics = step_metrics.replace(total=total)
     return scene, pstate, step_metrics
+
+
+def train_step(
+    scene: ms.SceneState,
+    pstate: PointState,
+    batch: TrainBatch,
+    hyper: Dict,
+    key: jax.Array,
+    *,
+    scene_config: ms.MLPSceneConfig,
+    raster_config: RasterConfig,
+    image_size: Tuple[int, int],
+    ssim_levels: int = 3,
+) -> Tuple[ms.SceneState, PointState, StepMetrics]:
+    """One full training step. jit with donate_argnums=(0, 1)."""
+    del key  # reserved for stochastic variants
+    bundle = batch_gradients(
+        scene, batch, hyper, scene_config=scene_config,
+        raster_config=raster_config, image_size=image_size,
+        ssim_levels=ssim_levels)
+    return apply_updates(scene, pstate, bundle, hyper, scene_config)
 
 
 def make_hyper(scene_config: ms.MLPSceneConfig, train_cfg, t: float) -> Dict:

@@ -1,0 +1,107 @@
+"""Data-parallel training on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splat_trainer_tpu.controller.point_state import PointState
+from splat_trainer_tpu.core.types import RasterConfig
+from splat_trainer_tpu.data.synthetic import SyntheticDataset
+from splat_trainer_tpu.models import mlp_scene as ms
+from splat_trainer_tpu.parallel import make_camera_mesh, make_dp_train_step
+from splat_trainer_tpu.trainer.train_step import (
+    TrainBatch, make_hyper, train_step,
+)
+
+
+class DummyTrainCfg:
+    l1_weight = 0.0
+    mse_weight = 10.0
+    ssim_weight = 1.0
+
+
+IMAGE_SIZE = (32, 32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dataset = SyntheticDataset(num_images=16, image_size=IMAGE_SIZE,
+                               num_points=150, split_every=0)
+    config = ms.MLPSceneConfig(point_features=8, image_features=8)
+    key = jax.random.PRNGKey(0)
+    scene = ms.init_scene(key, config, dataset.gaussians, 16, capacity=256)
+    return dataset, config, scene
+
+
+def make_batch(dataset, idx):
+    views = dataset.loader(idx)
+    table = dataset.camera_table
+    i = jnp.asarray([v.image_idx for v in views])
+    t, proj, near, far = table.gather_batch(i)
+    return TrainBatch(images=jnp.stack([jnp.asarray(v.image) for v in views]),
+                      image_idx=i, T_camera_world=t, projection=proj,
+                      near=near, far=far)
+
+
+def test_dp_matches_single_device(setup):
+    dataset, config, scene = setup
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+
+    rcfg = RasterConfig(backend="dense", max_instances=1 << 13, chunk_size=16)
+    mesh = make_camera_mesh()
+    dp_step, batch_sharding, rep = make_dp_train_step(
+        mesh, scene_config=config, raster_config=rcfg,
+        image_size=IMAGE_SIZE, ssim_levels=2)
+
+    batch = make_batch(dataset, np.arange(8))
+    hyper = make_hyper(config, DummyTrainCfg, 0.0)
+    pstate = PointState.new_zeros(scene.capacity)
+
+    # reference first: dp_step donates its inputs
+    scene_sd, pstate_sd, metrics_sd = train_step(
+        jax.tree_util.tree_map(jnp.copy, scene),
+        PointState.new_zeros(scene.capacity), batch, hyper,
+        jax.random.PRNGKey(0), scene_config=config, raster_config=rcfg,
+        image_size=IMAGE_SIZE, ssim_levels=2)
+
+    sharded_batch = jax.device_put(batch, batch_sharding)
+    scene_dp, pstate_dp, metrics_dp = dp_step(
+        jax.device_put(jax.tree_util.tree_map(jnp.copy, scene), rep),
+        jax.device_put(pstate, rep),
+        sharded_batch, hyper, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        np.asarray(scene_dp.points["position"]),
+        np.asarray(scene_sd.points["position"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pstate_dp.visibility), np.asarray(pstate_sd.visibility),
+        atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(metrics_dp.psnr), float(metrics_sd.psnr), atol=1e-2)
+
+
+def test_dp_multiple_steps_improve(setup):
+    dataset, config, scene = setup
+    rcfg = RasterConfig(backend="dense", max_instances=1 << 13, chunk_size=16)
+    mesh = make_camera_mesh()
+    dp_step, batch_sharding, rep = make_dp_train_step(
+        mesh, scene_config=config, raster_config=rcfg,
+        image_size=IMAGE_SIZE, ssim_levels=2)
+
+    hyper = make_hyper(config, DummyTrainCfg, 0.0)
+    hyper["reg"] = {k: 0.0 for k in hyper["reg"]}
+    pstate = PointState.new_zeros(scene.capacity)
+    scene = jax.device_put(scene, rep)
+
+    first = last = None
+    for step in range(10):
+        idx = np.random.RandomState(step).choice(16, 8, replace=False)
+        batch = jax.device_put(make_batch(dataset, idx), batch_sharding)
+        scene, pstate, metrics = dp_step(scene, pstate, batch, hyper,
+                                         jax.random.PRNGKey(step))
+        last = float(metrics.mse)
+        if first is None:
+            first = last
+    assert last < first, (first, last)
