@@ -1,0 +1,156 @@
+"""Training CLI — the `splat-trainer` entry point.
+
+Capability equivalent of /root/reference/splat_trainer/scripts/
+train_scan.py:26-265: ergonomic flags translated into config overrides, a
+run directory with the resolved config persisted for resume, dataset /
+logger / trainer instantiation, train, final metrics.
+"""
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def build_dataset(ds_cfg: dict):
+    kind = ds_cfg.get("kind", "colmap")
+    if kind == "colmap":
+        from splat_trainer_tpu.data.colmap import COLMAPDataset
+        from splat_trainer_tpu.data.normalization import NormalizationConfig
+        return COLMAPDataset(
+            base_path=ds_cfg["base_path"],
+            image_scale=ds_cfg.get("image_scale"),
+            resize_longest=ds_cfg.get("resize_longest"),
+            split_every=ds_cfg.get("split_every", 8),
+            normalize=NormalizationConfig(
+                centering=ds_cfg.get("centering", True),
+                scaling_method=ds_cfg.get("scaling_method", "none")),
+            limit_images=ds_cfg.get("limit_images"))
+    if kind == "blender":
+        from splat_trainer_tpu.data.blender import BlenderDataset
+        return BlenderDataset(
+            base_path=ds_cfg["base_path"],
+            image_scale=ds_cfg.get("image_scale") or 1.0,
+            white_background=ds_cfg.get("white_background", True),
+            limit_images=ds_cfg.get("limit_images"))
+    if kind == "synthetic":
+        from splat_trainer_tpu.data.synthetic import SyntheticDataset
+        return SyntheticDataset(
+            num_images=ds_cfg.get("num_images", 16),
+            image_size=tuple(ds_cfg.get("image_size", (128, 128))),
+            num_points=ds_cfg.get("num_points", 1000))
+    raise ValueError(f"unknown dataset kind {kind}")
+
+
+def build_logger(kind: str, run_path: Path):
+    if kind == "tensorboard":
+        from splat_trainer_tpu.logger.tensorboard import TensorboardLogger
+        return TensorboardLogger(str(run_path / "tensorboard"))
+    from splat_trainer_tpu.logger import NullLogger
+    return NullLogger()
+
+
+def default_config_path() -> Path:
+    return Path(__file__).parent.parent / "config" / "yaml" / "default.yaml"
+
+
+def cfg_from_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU gaussian-splatting trainer")
+    p.add_argument("dataset_path", nargs="?", help="COLMAP/Blender dataset dir")
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--output", default="runs", help="output base dir")
+    p.add_argument("--run-name", default=None)
+    p.add_argument("--dataset-kind", default=None, choices=["colmap", "blender", "synthetic"])
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--target-points", type=int, default=None)
+    p.add_argument("--initial-points", type=int, default=None)
+    p.add_argument("--image-scale", type=float, default=None)
+    p.add_argument("--resize-longest", type=int, default=None)
+    p.add_argument("--limit-images", type=int, default=None)
+    p.add_argument("--eval-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--mcmc", action="store_true", help="use the MCMC controller")
+    p.add_argument("--no-densify", action="store_true")
+    p.add_argument("--antialias", action="store_true")
+    p.add_argument("--overlap-batching", action="store_true",
+                   help="use TargetOverlap view selection")
+    p.add_argument("--save-checkpoints", action="store_true")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("overrides", nargs="*", default=[],
+                   help="dotted config overrides a.b.c=value")
+    args = p.parse_args(argv)
+
+    overrides = list(args.overrides)
+
+    def ov(path, value):
+        if value is not None:
+            overrides.append(f"{path}={value}")
+
+    ov("dataset.base_path", args.dataset_path)
+    ov("dataset.kind", args.dataset_kind)
+    ov("dataset.image_scale", args.image_scale)
+    ov("dataset.resize_longest", args.resize_longest)
+    ov("dataset.limit_images", args.limit_images)
+    ov("trainer.total_steps", args.steps)
+    ov("trainer.eval_steps", args.eval_steps)
+    ov("trainer.target_points", args.target_points)
+    ov("trainer.cloud_init.initial_points", args.initial_points)
+    ov("trainer.view_selection.batch_size", args.batch_size)
+    ov("trainer.seed", args.seed)
+    if args.antialias:
+        ov("trainer.antialias", "true")
+    if args.save_checkpoints:
+        ov("trainer.save_checkpoints", "true")
+    if args.tensorboard:
+        ov("logger", "tensorboard")
+    return args, overrides
+
+
+def train_with_config(tree: dict, run_path: Path):
+    from splat_trainer_tpu.config.loader import instantiate, save_resolved
+    from splat_trainer_tpu.trainer.trainer import Trainer
+
+    run_path.mkdir(parents=True, exist_ok=True)
+    save_resolved(run_path / "config.yaml", tree)
+    os.chdir(run_path)
+
+    dataset = build_dataset(tree["dataset"])
+    logger = build_logger(tree.get("logger", "none"), run_path)
+    config = instantiate(tree["trainer"])
+
+    print(f"dataset: {dataset}")
+    trainer = Trainer.initialize(config, dataset, logger)
+    try:
+        metrics = trainer.train()
+        print(json.dumps(metrics, indent=2))
+        return metrics
+    finally:
+        trainer.close()
+
+
+def main(argv=None):
+    from splat_trainer_tpu.config.loader import apply_overrides, load_config
+
+    args, overrides = cfg_from_args(argv)
+    tree = load_config(args.config or default_config_path())
+    tree = apply_overrides(tree, overrides)
+
+    if args.mcmc:
+        tree["trainer"]["controller"] = {"_target_": "MCMCConfig"}
+    if args.no_densify:
+        tree["trainer"]["controller"] = {"_target_": "DisabledConfig"}
+    if args.overlap_batching:
+        tree["trainer"]["view_selection"] = {"_target_": "TargetOverlapConfig"}
+
+    run_name = args.run_name or f"run_{np.random.randint(1 << 30):08x}"
+    run_path = Path(args.output).absolute() / run_name
+    print(f"run: {run_name} -> {run_path}")
+    train_with_config(tree, run_path)
+
+
+if __name__ == "__main__":
+    main()
