@@ -69,18 +69,13 @@ def instantiate(node: Any) -> Any:
 
 def coerce(value: str) -> Any:
     """Type coercion for command-line overrides (reference
-    scripts/checkpoint.py:106-114)."""
-    low = value.lower()
-    if low in ("true", "false"):
-        return low == "true"
-    if low in ("null", "none"):
+    scripts/checkpoint.py:106-114). YAML-parses scalars AND lists."""
+    if value.lower() == "none":
         return None
-    for cast in (int, float):
-        try:
-            return cast(value)
-        except ValueError:
-            pass
-    return value
+    try:
+        return yaml.safe_load(value)
+    except yaml.YAMLError:
+        return value
 
 
 def apply_overrides(tree: dict, overrides: list) -> dict:
