@@ -152,9 +152,11 @@ def read_cameras_txt(path) -> Dict[int, ColmapCamera]:
 def read_images_txt(path) -> List[ColmapImage]:
     images = []
     with open(path) as f:
-        lines = [l.strip() for l in f
-                 if l.strip() and not l.strip().startswith("#")]
-    for meta in lines[::2]:  # every other line is the 2D point list
+        # metadata and points2D lines alternate; points2D lines may be empty
+        lines = [l.rstrip("\n") for l in f if not l.startswith("#")]
+    for meta in lines[::2]:
+        if not meta.strip():
+            continue
         parts = meta.split()
         images.append(ColmapImage(
             image_id=int(parts[0]),
