@@ -68,6 +68,11 @@ class MLPSceneConfig:
     image_features: int = 32
     point_features: int = 16
 
+    # camera pose refinement: learning rate for per-image pose deltas
+    # (0 = frozen; completes the reference's pose_table scaffolding,
+    # camera_table/pose_table.py:70-80 + SURVEY.md §7.2 stage 8)
+    lr_pose: VaryingFloat = 0.0
+
     beta1: float = 0.8
     beta2: float = 0.95
     vis_beta: float = 0.999
@@ -94,6 +99,11 @@ class SceneState:
     color_opt: AdamState
     glo_table: jax.Array           # (num_images, image_features)
     glo_opt: RowAdamState
+    # per-image pose-refinement deltas: quaternion (xyzw, identity init) +
+    # translation applied on top of the dataset pose
+    pose_dq: jax.Array             # (num_images, 4)
+    pose_dt: jax.Array             # (num_images, 3)
+    pose_opt: RowAdamState
 
     @property
     def capacity(self) -> int:
@@ -147,6 +157,10 @@ def init_scene(
         kc, config.color_model, config.image_features, config.point_features)
     glo_table = cm.init_glo_table(num_images, config.image_features)
 
+    pose_dq = jnp.tile(jnp.array([[0.0, 0.0, 0.0, 1.0]]), (num_images, 1))
+    pose_dt = jnp.zeros((num_images, 3))
+    pose_stacked = jnp.concatenate([pose_dq, pose_dt], axis=-1)
+
     return SceneState(
         points=points,
         active=active,
@@ -156,7 +170,20 @@ def init_scene(
         color_opt=adam_init(color_params),
         glo_table=glo_table,
         glo_opt=row_adam_init(glo_table),
+        pose_dq=pose_dq,
+        pose_dt=pose_dt,
+        pose_opt=row_adam_init(pose_stacked),
     )
+
+
+def refined_camera(scene: SceneState, camera: CameraParams,
+                   image_idx) -> CameraParams:
+    """Compose the per-image pose delta onto a dataset camera pose."""
+    from splat_trainer_tpu.utils import transforms
+    dq = transforms.normalize(scene.pose_dq[image_idx])
+    dt = scene.pose_dt[image_idx]
+    delta = transforms.join_rt(transforms.quat_to_rotmat(dq), dt)
+    return camera.replace(T_camera_world=delta @ camera.T_camera_world)
 
 
 def lookup_glo(scene: SceneState, config: MLPSceneConfig,
@@ -188,6 +215,8 @@ def render(
     specular_weight: float = 1.0,
 ) -> Rendering:
     """Full scene render (reference MLPScene.render, mlp_scene.py:410-427)."""
+    if image_idx is not None:
+        camera = refined_camera(scene, camera, image_idx)
     diffuse, specular = eval_scene_colors(scene, config, camera, image_idx)
     colors = cm.total_color(diffuse, specular, specular_weight)
 
@@ -265,6 +294,15 @@ def scene_step(
         scene.glo_table, grads.glo_table, scene.glo_opt, glo_rows,
         lrs["glo"])
 
+    # pose refinement (row-masked Adam on stacked [dq | dt]); lr 0 = frozen
+    pose = jnp.concatenate([scene.pose_dq, scene.pose_dt], axis=-1)
+    pose_grads = jnp.concatenate([grads.pose_dq, grads.pose_dt], axis=-1)
+    pose, pose_opt = row_adam_update(
+        pose, pose_grads, scene.pose_opt, glo_rows, lrs["pose"],
+        weight_decay=0.0)
+    pose_dq = pose[:, :4] / jnp.maximum(
+        jnp.linalg.norm(pose[:, :4], axis=-1, keepdims=True), 1e-12)
+
     return scene.replace(
         points=new_points,
         point_opt=point_opt,
@@ -272,6 +310,9 @@ def scene_step(
         color_opt=color_opt,
         glo_table=glo_table,
         glo_opt=glo_opt,
+        pose_dq=pose_dq,
+        pose_dt=pose[:, 4:],
+        pose_opt=pose_opt,
         visible_acc=jnp.zeros_like(scene.visible_acc),
     )
 
@@ -281,16 +322,20 @@ class SceneGrads:
     points: Dict[str, jax.Array]
     color_params: Dict[str, Any]
     glo_table: jax.Array
+    pose_dq: jax.Array
+    pose_dt: jax.Array
 
 
 def trainable_params(scene: SceneState) -> SceneGrads:
     return SceneGrads(points=scene.points, color_params=scene.color_params,
-                      glo_table=scene.glo_table)
+                      glo_table=scene.glo_table, pose_dq=scene.pose_dq,
+                      pose_dt=scene.pose_dt)
 
 
 def with_params(scene: SceneState, p: SceneGrads) -> SceneState:
     return scene.replace(points=p.points, color_params=p.color_params,
-                         glo_table=p.glo_table)
+                         glo_table=p.glo_table, pose_dq=p.pose_dq,
+                         pose_dt=p.pose_dt)
 
 
 def eval_learning_rates(config: MLPSceneConfig, t: float) -> Dict[str, float]:
@@ -301,4 +346,5 @@ def eval_learning_rates(config: MLPSceneConfig, t: float) -> Dict[str, float]:
     lrs = {k: eval_varying(v, t) for k, v in config.lr_schedules().items()}
     lrs["color"] = eval_varying(config.color_model.lr_diffuse, t)
     lrs["glo"] = eval_varying(config.lr_glo_feature, t)
+    lrs["pose"] = eval_varying(config.lr_pose, t)
     return lrs

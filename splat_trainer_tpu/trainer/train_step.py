@@ -119,6 +119,9 @@ def batch_gradients(
         for i in range(B):
             camera = camera_from_batch(batch, i, image_size)
             image_idx = batch.image_idx[i]
+            # pose refinement: compose the learnable per-image delta so pose
+            # gradients flow through the (autodiff) projection
+            camera = ms.refined_camera(scene_p, camera, image_idx)
 
             diffuse, specular = ms.eval_scene_colors(
                 scene_p, scene_config, camera, image_idx)
