@@ -65,21 +65,13 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         visible = radius >= 1.0
         inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
         n = mean.shape[0]
-        gid = inst.gaussian_id
-        m = gid.shape[0]
-        # build the (16, M) field matrix row-by-row: 10 per-field gathers are
-        # far cheaper than gathering (M, 16) rows and transposing 256 MB
-        zero_row = jnp.zeros((rasterize_pallas.INST_ROWS - 10, m), jnp.float32)
+        # ONE contiguous row-gather (a 64-byte row costs the same HBM
+        # transaction as a scalar) followed by a bandwidth-bound transpose —
+        # per-field gathers are ~30x slower at 4M instances.
         packed = jnp.concatenate([
-            jnp.stack([
-                mean[:, 0][gid], mean[:, 1][gid],
-                conic[:, 0][gid], conic[:, 1][gid], conic[:, 2][gid],
-                opacity[gid],
-                color[:, 0][gid], color[:, 1][gid], color[:, 2][gid],
-                depth_ndc[gid],
-            ]),
-            zero_row,
-        ], axis=0)
+            mean, conic, opacity[:, None], color, depth_ndc[:, None],
+            jnp.zeros((n, rasterize_pallas.INST_ROWS - 10), jnp.float32),
+        ], axis=1)[inst.gaussian_id].T  # (16, M) field matrix
 
         tile_img, inst_vis = rasterize_pallas.rasterize_forward(
             inst.tile_starts, packed, grid, image_size, config, interpret=interpret)

@@ -107,29 +107,37 @@ def expand_and_sort(
         jnp.arange(span.shape[0], dtype=jnp.int32), mode="drop")
     gid = jax.lax.cummax(seg_marks)
 
-    # instance -> tile within the gaussian's rect.
-    # NOTE: integer div/mod by a runtime divisor costs ~30ms per op on 2M
-    # elements (no native int divide on the VPU); exact float reciprocal
-    # with a +-1 fixup is ~20x faster. r < span <= num_tiles << 2^24 so the
-    # f32 arithmetic is exact up to rounding of the reciprocal.
-    r = (inst - offsets[gid]).astype(jnp.float32)
-    sx = span_x[gid]
-    sx_f = sx.astype(jnp.float32)
+    # Per-instance per-gaussian values come from ONE row-gather of a packed
+    # (N, 8) f32 matrix: separate scalar gathers are HBM-latency-bound
+    # (~100ns per random element -> ~0.4s for 5 gathers of 4M); a 32-byte
+    # row costs the same single transaction. All values are integers
+    # < 2^24, exact in f32.
+    db = grid.depth_bits
+    dq = jnp.minimum(jnp.clip(depth_ndc, 0.0, 1.0) * float((1 << db) - 1),
+                     float((1 << db) - 1))
+    aux_g = jnp.stack([
+        offsets.astype(jnp.float32),
+        span_x.astype(jnp.float32),
+        x0.astype(jnp.float32),
+        y0.astype(jnp.float32),
+        dq,
+        jnp.zeros_like(dq), jnp.zeros_like(dq), jnp.zeros_like(dq),
+    ], axis=-1)                                      # (N, 8)
+    aux = aux_g[gid]                                 # (M, 8) one row-gather
+
+    # instance -> tile within the gaussian's rect. Integer div/mod by a
+    # runtime divisor has no native VPU op (~30ms/op at 2M); exact float
+    # reciprocal with a +-1 fixup instead.
+    r = inst.astype(jnp.float32) - aux[:, 0]
+    sx_f = aux[:, 1]
     ry = jnp.floor(r / sx_f)
     rx = r - ry * sx_f
-    # fixup possible off-by-one from reciprocal rounding
     ry = jnp.where(rx < 0, ry - 1, jnp.where(rx >= sx_f, ry + 1, ry))
     rx = r - ry * sx_f
-    tx = x0[gid] + rx.astype(jnp.int32)
-    ty = y0[gid] + ry.astype(jnp.int32)
-    tile = (ty * grid.ntx + tx).astype(jnp.uint32)
 
-    # fused sort key: [tile_bits | depth_bits]
-    db = grid.depth_bits
-    dq_max = jnp.uint32((1 << db) - 1)
-    ndc = jnp.clip(depth_ndc[gid], 0.0, 1.0)
-    dq = jnp.minimum((ndc * float((1 << db) - 1)).astype(jnp.uint32), dq_max)
-    key = (tile << db) | dq
+    # tile id and depth bits in exact f32, packed into the u32 sort key
+    tile_f = (aux[:, 3] + ry) * grid.ntx + (aux[:, 2] + rx)
+    key = (tile_f.astype(jnp.uint32) << db) | aux[:, 4].astype(jnp.uint32)
     invalid_key = jnp.uint32(grid.num_tiles) << db
     key = jnp.where(valid, key, invalid_key)
 
