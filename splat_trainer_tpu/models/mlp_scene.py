@@ -104,6 +104,9 @@ class SceneState:
     pose_dq: jax.Array             # (num_images, 4)
     pose_dt: jax.Array             # (num_images, 3)
     pose_opt: RowAdamState
+    # optional per-image bilateral color-correction grids (None = disabled)
+    corrector_grids: Optional[jax.Array] = None
+    corrector_opt: Optional[RowAdamState] = None
 
     @property
     def capacity(self) -> int:
@@ -303,7 +306,18 @@ def scene_step(
     pose_dq = pose[:, :4] / jnp.maximum(
         jnp.linalg.norm(pose[:, :4], axis=-1, keepdims=True), 1e-12)
 
+    corrector_grids, corrector_opt = scene.corrector_grids, scene.corrector_opt
+    if corrector_grids is not None:
+        flat = corrector_grids.reshape(corrector_grids.shape[0], -1)
+        gflat = grads.corrector_grids.reshape(flat.shape)
+        flat, corrector_opt = row_adam_update(
+            flat, gflat, corrector_opt, glo_rows, lrs["corrector"],
+            weight_decay=0.0)
+        corrector_grids = flat.reshape(corrector_grids.shape)
+
     return scene.replace(
+        corrector_grids=corrector_grids,
+        corrector_opt=corrector_opt,
         points=new_points,
         point_opt=point_opt,
         color_params=color_params,
@@ -324,18 +338,21 @@ class SceneGrads:
     glo_table: jax.Array
     pose_dq: jax.Array
     pose_dt: jax.Array
+    corrector_grids: Optional[jax.Array] = None
 
 
 def trainable_params(scene: SceneState) -> SceneGrads:
     return SceneGrads(points=scene.points, color_params=scene.color_params,
                       glo_table=scene.glo_table, pose_dq=scene.pose_dq,
-                      pose_dt=scene.pose_dt)
+                      pose_dt=scene.pose_dt,
+                      corrector_grids=scene.corrector_grids)
 
 
 def with_params(scene: SceneState, p: SceneGrads) -> SceneState:
     return scene.replace(points=p.points, color_params=p.color_params,
                          glo_table=p.glo_table, pose_dq=p.pose_dq,
-                         pose_dt=p.pose_dt)
+                         pose_dt=p.pose_dt,
+                         corrector_grids=p.corrector_grids)
 
 
 def eval_learning_rates(config: MLPSceneConfig, t: float) -> Dict[str, float]:

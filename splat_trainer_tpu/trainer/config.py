@@ -8,6 +8,9 @@ Capability equivalent of /root/reference/splat_trainer/trainer/config.py:
 from dataclasses import dataclass, field
 from typing import Optional, Union
 
+from splat_trainer_tpu.color_corrector import (
+    BilateralCorrectorConfig, NilCorrectorConfig,
+)
 from splat_trainer_tpu.controller import DisabledConfig, MCMCConfig, TargetConfig
 from splat_trainer_tpu.core.types import RasterConfig
 from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
@@ -27,6 +30,9 @@ class TrainConfig:
     controller: ControllerConfig = field(default_factory=TargetConfig)
     view_selection: ViewSelectionConfig = field(default_factory=RandomSamplerConfig)
     cloud_init: CloudInitConfig = field(default_factory=CloudInitConfig)
+    # per-image bilateral color correction inside the loss (SURVEY.md #32)
+    color_corrector: Union[NilCorrectorConfig, BilateralCorrectorConfig] = field(
+        default_factory=NilCorrectorConfig)
 
     # schedule
     total_steps: int = 10_000

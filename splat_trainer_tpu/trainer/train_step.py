@@ -132,6 +132,18 @@ def batch_gradients(
                 active=scene_p.active, heur_sink=heur_sink)
             image = cm.post_activation(rendering.image, scene_config.color_model)
 
+            # optional bilateral color correction: the corrector absorbs
+            # per-image exposure/white balance inside the loss (SURVEY.md
+            # #32 — wired in, unlike the reference)
+            if scene_p.corrector_grids is not None:
+                from splat_trainer_tpu.color_corrector.bilateral import (
+                    color_affine_transform, slice_grid, total_variation_loss,
+                )
+                affine = slice_grid(scene_p.corrector_grids[image_idx], image)
+                image = color_affine_transform(affine, image)
+                total = total + hyper["corrector_tv"] * total_variation_loss(
+                    scene_p.corrector_grids[image_idx][None])
+
             loss_i, m = compute_losses(image, batch.images[i], hyper, ssim_levels)
             reg_total, reg_parts = ms.reg_loss(
                 scene_p, scene_config, rendering, specular, hyper["reg"])
@@ -236,10 +248,15 @@ def make_hyper(scene_config: ms.MLPSceneConfig, train_cfg, t: float) -> Dict:
     """Host-side: evaluate all schedules at progress t into a flat pytree of
     python floats (traced leaves of the jitted step)."""
     from splat_trainer_tpu.config import eval_varyings
+    lrs = ms.eval_learning_rates(scene_config, t)
+    corrector = getattr(train_cfg, "color_corrector", None)
+    lrs["corrector"] = getattr(corrector, "lr", 0.0) if corrector else 0.0
     return {
-        "lrs": ms.eval_learning_rates(scene_config, t),
+        "lrs": lrs,
         "reg": eval_varyings(scene_config.reg_weight, t),
         "l1_weight": float(train_cfg.l1_weight),
         "mse_weight": float(train_cfg.mse_weight),
         "ssim_weight": float(train_cfg.ssim_weight),
+        "corrector_tv": (float(getattr(corrector, "tv_weight", 0.0))
+                         if corrector else 0.0),
     }

@@ -116,6 +116,18 @@ class Trainer:
         scene = ms.init_scene(
             k_scene, config.scene, initial, dataset.camera_table.num_images,
             capacity=config.capacity)
+
+        from splat_trainer_tpu.color_corrector import BilateralCorrectorConfig
+        if isinstance(config.color_corrector, BilateralCorrectorConfig):
+            from splat_trainer_tpu.color_corrector.bilateral import identity_grids
+            from splat_trainer_tpu.optim import row_adam_init
+            cc = config.color_corrector
+            grids = identity_grids(dataset.camera_table.num_images,
+                                   cc.grid_width, cc.grid_height, cc.grid_luma)
+            scene = scene.replace(
+                corrector_grids=grids,
+                corrector_opt=row_adam_init(
+                    grids.reshape(grids.shape[0], -1)))
         pstate = PointState.new_zeros(scene.capacity)
 
         progress = Progress(step=0, total_steps=config.total_steps)
