@@ -59,22 +59,19 @@ def _col_iota(p: int, k: int):
     return lax.broadcasted_iota(jnp.int32, (p, k), 1)
 
 
-def _scan_lanes(x, op, identity, k: int):
-    """Inclusive Hillis-Steele scan along the lane axis 1 (static K)."""
-    cols = _col_iota(x.shape[0], k)
-    s = 1
-    while s < k:
-        shifted = pltpu.roll(x, shift=s, axis=1)
-        shifted = jnp.where(cols >= s, shifted, identity)
-        x = op(x, shifted)
-        s *= 2
-    return x
+def _triu_strict(k: int):
+    """Strictly-upper-triangular ones (K, K): exclusive-prefix matmul mask."""
+    i = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    j = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (i < j).astype(jnp.float32)
 
 
-def _shift_right1(x, identity, k: int):
-    """x[:, j-1] at column j; `identity` at column 0."""
-    cols = _col_iota(x.shape[0], k)
-    return jnp.where(cols >= 1, pltpu.roll(x, shift=1, axis=1), identity)
+def _cumsum_excl(x, u_strict):
+    """Exclusive prefix sum along lanes as ONE MXU matmul: a Hillis-Steele
+    scan costs log2(K) VPU passes over (P, K); x @ triu is a (P,K)x(K,K)
+    contraction the MXU does in parallel with VPU work."""
+    return lax.dot_general(x, u_strict, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
 
 
 def _chunk_geometry(data, px, py, start, end, off, valid_px,
@@ -141,6 +138,7 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     end = starts_ref[t + 1]
     px, py, valid_px = _pixel_coords(t, grid, image_size)
     c0, nch = _chunk_bounds(start, end, k)
+    u_strict = _triu_strict(k)
 
     def inst_copy(i, slot):
         off = (c0 + i) * k
@@ -180,18 +178,20 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         alpha, _expp, _dx, _dy, _con = _chunk_geometry(
             data, px, py, start, end, off, valid_px, config, k)
 
-        om = 1.0 - alpha
-        cum = _scan_lanes(om, lax.mul, 1.0, k)        # inclusive product
-        T_excl = T * _shift_right1(cum, 1.0, k)       # (P, K)
+        # transmittance as a log-space prefix product on the MXU:
+        # T_excl_j = T * exp(sum_{i<j} log(1 - a_i));  a <= alpha_clamp < 1
+        logom = jnp.log1p(-alpha)
+        cumlog_excl = _cumsum_excl(logom, u_strict)
+        T_excl = T * jnp.exp(cumlog_excl)             # (P, K)
         w = alpha * T_excl
+        T_last = T * jnp.exp(cumlog_excl[:, k - 1:k] + logom[:, k - 1:k])
 
         col = data[6:9, :]                            # (3, K)
         rgb = rgb + lax.dot_general(
             col, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
-        A_after = 1.0 - T * cum
-        A_before = 1.0 - T_excl
-        crossed = ((A_after >= 0.5) & (A_before < 0.5)).astype(jnp.float32)
+        T_incl = T_excl * (1.0 - alpha)
+        crossed = ((T_incl <= 0.5) & (T_excl > 0.5)).astype(jnp.float32)
         med = med + lax.dot_general(
             data[9:10, :], crossed, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (1, P)
@@ -205,7 +205,7 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         wr.start()
         wr.wait()
 
-        return i + 1, T * cum[:, k - 1:k], rgb, med
+        return i + 1, T_last, rgb, med
 
     T0 = jnp.ones((p, 1), jnp.float32)
     rgb0 = jnp.zeros((3, p), jnp.float32)
@@ -294,6 +294,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     end = starts_ref[t + 1]
     px, py, valid_px = _pixel_coords(t, grid, image_size)
     c0, nch = _chunk_bounds(start, end, k)
+    u_strict = _triu_strict(k)
 
     def inst_copy(i, slot):
         off = (c0 + i) * k
@@ -340,15 +341,18 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             data, px, py, start, end, off, valid_px, config, k)
 
         om = 1.0 - alpha
-        cum = _scan_lanes(om, lax.mul, 1.0, k)
-        T_excl = T * _shift_right1(cum, 1.0, k)
+        logom = jnp.log1p(-alpha)
+        cumlog_excl = _cumsum_excl(logom, u_strict)
+        T_excl = T * jnp.exp(cumlog_excl)
         w = alpha * T_excl                            # (P, K)
+        T_last = T * jnp.exp(cumlog_excl[:, k - 1:k] + logom[:, k - 1:k])
 
         col = data[6:9, :]                            # (3, K)
         cg = lax.dot_general(g, col, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)   # (P, K)
         wcg = w * cg
-        prefix = S + _scan_lanes(wcg, lax.add, 0.0, k)             # inclusive
+        # inclusive prefix on the MXU: exclusive + diagonal term
+        prefix = S + _cumsum_excl(wcg, u_strict) + wcg
         Sg_after = F - prefix
 
         safe_om = jnp.maximum(om, 1e-6)
@@ -390,7 +394,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         wr.start()
         wr.wait()
 
-        return i + 1, T * cum[:, k - 1:k], prefix[:, k - 1:k]
+        return i + 1, T_last, prefix[:, k - 1:k]
 
     T0 = jnp.ones((p, 1), jnp.float32)
     S0 = jnp.zeros((p, 1), jnp.float32)
