@@ -1,19 +1,23 @@
-"""SSIM and multi-scale SSIM loss in jnp.
+"""SSIM and multi-scale SSIM loss in jnp, MXU-formulated.
 
 TPU-native replacement for the `fused-ssim` CUDA extension (SURVEY.md N10;
-usage /root/reference/splat_trainer/trainer/trainer.py:450-462). The11x11
-gaussian window (sigma=1.5) is applied as two separable depthwise
-convolutions; XLA fuses the elementwise SSIM map computation. Differentiable
-by construction — no custom backward required.
+usage /root/reference/splat_trainer/trainer/trainer.py:450-462). The 11x11
+gaussian window is applied as two *banded-matrix contractions* — XLA's
+depthwise convolution with 3 channels maps terribly onto the TPU (measured
+34 ms at 1536x1024), while (C*H, W) @ (W, W') matmuls ride the MXU (~2 ms).
+Differentiable by construction — no custom backward required.
 
-Matches fused_ssim(padding="valid") semantics: statistics are only computed
-where the window fully overlaps the image.
+Matches fused_ssim(padding="valid") semantics: statistics only where the
+window fully overlaps the image. `precision` selects matmul precision:
+DEFAULT (bf16 passes) for the training loss, HIGHEST for evaluation
+metrics.
 """
 
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
@@ -22,30 +26,35 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return k / k.sum()
 
 
-def _blur_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Separable valid-padding blur over (H, W, C)."""
+def _band_matrix(n: int, kernel: jnp.ndarray) -> jnp.ndarray:
+    """(n, n-k+1) banded matrix B with B[j+d, j] = kernel[d]."""
     k = kernel.shape[0]
-    c = x.shape[-1]
-    # depthwise separable: rhs (kh, kw, 1, C) with feature_group_count=C
-    xh = jax.lax.conv_general_dilated(
-        x[None], jnp.tile(kernel.reshape(1, k, 1, 1), (1, 1, 1, c)),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)[0]
-    xv = jax.lax.conv_general_dilated(
-        xh[None], jnp.tile(kernel.reshape(k, 1, 1, 1), (1, 1, 1, c)),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)[0]
-    return xv
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(n - k + 1)[None, :]
+    d = rows - cols
+    valid = (d >= 0) & (d < k)
+    return jnp.where(valid, kernel[jnp.clip(d, 0, k - 1)], 0.0)
 
 
-@partial(jax.jit, static_argnames=("window_size",))
+def _blur_valid(x: jnp.ndarray, kernel: jnp.ndarray, precision) -> jnp.ndarray:
+    """Separable valid-padding blur over (H, W, C) via two contractions."""
+    h, w, c = x.shape
+    bw = _band_matrix(w, kernel)
+    bh = _band_matrix(h, kernel)
+
+    xc = x.transpose(2, 0, 1)                                  # (C, H, W)
+    xh = jnp.einsum("chw,wv->chv", xc, bw, precision=precision)
+    xv = jnp.einsum("chv,hu->cuv", xh, bh, precision=precision)
+    return xv.transpose(1, 2, 0)                               # (H', W', C)
+
+
+@partial(jax.jit, static_argnames=("window_size", "precision"))
 def ssim(pred: jnp.ndarray, ref: jnp.ndarray, window_size: int = 11,
-         c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jnp.ndarray:
+         c1: float = 0.01 ** 2, c2: float = 0.03 ** 2,
+         precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """Mean SSIM over an (H, W, C) image pair in [0, 1]."""
     kernel = _gaussian_kernel(window_size)
-    blur = partial(_blur_valid, kernel=kernel)
+    blur = partial(_blur_valid, kernel=kernel, precision=precision)
 
     mu_p, mu_r = blur(pred), blur(ref)
     mu_pp, mu_rr, mu_pr = mu_p * mu_p, mu_r * mu_r, mu_p * mu_r
@@ -66,15 +75,17 @@ def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     return x[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, c).mean(axis=(1, 3))
 
 
-def multiscale_ssim_loss(pred: jnp.ndarray, ref: jnp.ndarray, levels: int = 3):
+def multiscale_ssim_loss(pred: jnp.ndarray, ref: jnp.ndarray, levels: int = 3,
+                         precision=lax.Precision.DEFAULT):
     """Multi-scale SSIM loss: mean over pyramid levels of (1 - ssim).
 
     Mirrors Trainer.compute_ssim_loss (trainer.py:450-462). Returns
-    (loss, full-resolution ssim metric).
+    (loss, full-resolution ssim metric). Uses fast (bf16-pass) matmul
+    precision by default — appropriate for a loss term.
     """
-    ssim0 = ssim(pred, ref)
+    ssim0 = ssim(pred, ref, precision=precision)
     loss = 1.0 - ssim0
     for _ in range(1, levels):
         pred, ref = _avg_pool2(pred), _avg_pool2(ref)
-        loss = loss + (1.0 - ssim(pred, ref))
+        loss = loss + (1.0 - ssim(pred, ref, precision=precision))
     return loss / levels, ssim0
