@@ -1,31 +1,39 @@
 """Config primitives: training progress and time-varying hyperparameter schedules.
 
-Mirrors the capability of the reference schedule DSL
-(/root/reference/splat_trainer/config/__init__.py:24-204): `Progress`,
-`Varying` hierarchy (Constant/Linear/LogDecay/LogLinear/Piecewise/SmoothStep/
-Between) evaluated at normalized progress t = step/total_steps.
+Covers the capability of the reference schedule DSL
+(/root/reference/splat_trainer/config/__init__.py:24-204) — the YAML-facing
+schedule names (Constant/Linear/LogDecay/LogLinear/Piecewise/SmoothStep/
+Between) are kept because run configs spell them — but the machinery is this
+codebase's own: every schedule is a frozen dataclass curve with a single
+`at(t)` method, scalar gain is one generic `Scaled` combinator (instead of a
+per-class `__mul__`), piecewise lookup is a bisect, and reprs are the
+auto-generated dataclass ones.
 
-These are evaluated on the *host* each step; the resulting scalars are fed to
-the jitted train step as traced arguments so learning-rate changes never
-trigger recompilation.
+Schedules are evaluated on the *host* each step; the resulting scalars are
+fed to the jitted train step as traced arguments so learning-rate changes
+never trigger recompilation.
 """
 
-from abc import ABC, abstractmethod
+import bisect
 from dataclasses import dataclass
-import math
-from typing import Generic, List, Mapping, Sequence, Tuple, TypeVar, Union
-
-T = TypeVar("T")
+from typing import Mapping, Tuple, Union
 
 
-def clamp(x: float, min_val: float, max_val: float) -> float:
-    return max(min_val, min(x, max_val))
+def clamp(x: float, lo: float, hi: float) -> float:
+    return lo if x < lo else hi if x > hi else x
 
 
-def smoothstep(t: float, a: float, b: float, interval: Tuple[float, float] = (0.0, 1.0)) -> float:
-    r = interval[1] - interval[0]
-    t = clamp((t - interval[0]) / r, 0.0, 1.0)
-    return a + (b - a) * (3 * t ** 2 - 2 * t ** 3)
+def _hermite01(t: float) -> float:
+    """Cubic smoothstep easing on [0,1]."""
+    t = clamp(t, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def smoothstep(t: float, a: float, b: float,
+               interval: Tuple[float, float] = (0.0, 1.0)) -> float:
+    """Ease from a to b as t crosses `interval`."""
+    lo, hi = interval
+    return a + (b - a) * _hermite01((t - lo) / (hi - lo))
 
 
 @dataclass(kw_only=True, frozen=True)
@@ -43,149 +51,148 @@ class Progress:
         return float(self.t)
 
 
-class Varying(ABC, Generic[T]):
-    """A value that varies over normalized training progress t in [0,1]."""
+@dataclass(frozen=True)
+class Schedule:
+    """A scalar-valued curve over normalized progress t ∈ [0, 1].
 
-    @abstractmethod
-    def __call__(self, t: float) -> T:
-        ...
+    Subclasses implement `at`. Calling the schedule delegates to `at`;
+    multiplying by a scalar wraps it in `Scaled` (folding nested gains).
+    """
 
-    def __mul__(self, scale: float) -> "Varying[T]":
-        raise NotImplementedError
+    def at(self, t: float):
+        raise NotImplementedError(type(self).__name__)
 
-    def __truediv__(self, scale: float) -> "Varying[T]":
-        return self * (1.0 / scale)
+    def __call__(self, t: float):
+        return self.at(t)
+
+    def __mul__(self, gain: float) -> "Schedule":
+        return Scaled(self, gain)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, divisor: float) -> "Schedule":
+        return self * (1.0 / divisor)
 
 
-class Constant(Varying[T]):
-    def __init__(self, value: T):
-        self.value = value
+@dataclass(frozen=True)
+class Scaled(Schedule):
+    """`base` with its output multiplied by `gain` — the one scaling combinator."""
+    base: Schedule
+    gain: float
 
-    def __call__(self, t: float) -> T:
+    def at(self, t: float):
+        return self.base.at(t) * self.gain
+
+    def __mul__(self, gain: float) -> "Scaled":
+        return Scaled(self.base, self.gain * gain)
+
+
+@dataclass(frozen=True)
+class Constant(Schedule):
+    value: float
+
+    def at(self, t: float):
         return self.value
 
-    def __mul__(self, scale: float) -> "Constant":
-        return Constant(self.value * scale)
 
-    def __repr__(self):
-        return f"Constant({self.value})"
+@dataclass(frozen=True)
+class Linear(Schedule):
+    """Affine ramp from `start` at t=0 to `end` at t=1."""
+    start: float
+    end: float
 
-
-class Linear(Varying[T]):
-    def __init__(self, start: T, end: T):
-        self.start, self.end = start, end
-
-    def __call__(self, t: float) -> T:
-        return self.start * (1 - t) + self.end * t
-
-    def __mul__(self, scale: float) -> "Linear":
-        return Linear(self.start * scale, self.end * scale)
-
-    def __repr__(self):
-        return f"Linear({self.start}, {self.end})"
+    def at(self, t: float):
+        return self.start + (self.end - self.start) * t
 
 
-class LogDecay(Varying[T]):
-    """start * factor**t — exponential decay over training."""
+@dataclass(frozen=True)
+class LogDecay(Schedule):
+    """Exponential decay: start at t=0, start*factor at t=1."""
+    start: float
+    factor: float
 
-    def __init__(self, start: T, factor: T):
-        self.start, self.factor = start, factor
-
-    def __call__(self, t: float) -> T:
+    def at(self, t: float):
         return self.start * self.factor ** t
 
-    def __mul__(self, scale: float) -> "LogDecay":
-        return LogDecay(self.start * scale, self.factor)
 
-    def __repr__(self):
-        return f"LogDecay({self.start}, {self.factor})"
+@dataclass(frozen=True)
+class LogLinear(Schedule):
+    """Geometric ramp: start at t=0, end at t=1 (both must be positive)."""
+    start: float
+    end: float
 
+    def __post_init__(self):
+        if not (self.start > 0 and self.end > 0):
+            raise ValueError("LogLinear endpoints must be positive")
 
-class LogLinear(Varying[T]):
-    """Geometric interpolation between start and end."""
-
-    def __init__(self, start: T, end: T):
-        assert start > 0 and end > 0, "LogLinear requires positive endpoints"
-        self.start, self.end = start, end
-
-    def __call__(self, t: float) -> T:
-        return math.exp(math.log(self.start) * (1 - t) + math.log(self.end) * t)
-
-    def __mul__(self, scale: float) -> "LogLinear":
-        return LogLinear(self.start * scale, self.end * scale)
-
-    def __repr__(self):
-        return f"LogLinear({self.start}, {self.end})"
+    def at(self, t: float):
+        return self.start * (self.end / self.start) ** t
 
 
-class Piecewise(Varying[T]):
-    """Step function: value changes at breakpoints [(t_min, next_value), ...]."""
+@dataclass(frozen=True)
+class SmoothStep(Schedule):
+    """Cubic ease from `start` to `end` over the whole run."""
+    start: float
+    end: float
 
-    def __init__(self, start: T, steps: Sequence[Tuple[float, T]], scale: float = 1.0):
-        self.start = start
-        self.steps = [tuple(s) for s in steps]
-        self.scale = scale
-
-    def __call__(self, t: float) -> T:
-        value = self.start
-        for t_min, next_value in self.steps:
-            if t < t_min:
-                break
-            value = next_value
-        result = value * self.scale
-        return type(value)(result) if isinstance(value, int) else result
-
-    def __mul__(self, scale: float) -> "Piecewise":
-        return Piecewise(self.start, self.steps, self.scale * scale)
-
-    def __repr__(self):
-        return f"Piecewise({self.start}, {self.steps}, {self.scale})"
+    def at(self, t: float):
+        return self.start + (self.end - self.start) * _hermite01(t)
 
 
-class SmoothStep(Varying[float]):
-    def __init__(self, start: float, end: float):
-        self.start, self.end = start, end
+@dataclass(frozen=True)
+class Piecewise(Schedule):
+    """Right-continuous step function.
 
-    def __call__(self, t: float) -> float:
-        return smoothstep(t, self.start, self.end)
+    `steps` is a sequence of (t_threshold, value) pairs; the schedule holds
+    `start` until t reaches the first threshold, then each value in turn.
+    Values keep their Python type (ints stay ints) so interval schedules can
+    be used directly as step counts.
+    """
+    start: float
+    steps: Tuple[Tuple[float, float], ...]
 
-    def __mul__(self, scale: float) -> "SmoothStep":
-        return SmoothStep(self.start * scale, self.end * scale)
+    def __post_init__(self):
+        steps = tuple((float(th), v) for th, v in self.steps)
+        if list(steps) != sorted(steps, key=lambda s: s[0]):
+            raise ValueError("Piecewise thresholds must be ascending")
+        object.__setattr__(self, "steps", steps)
 
-    def __repr__(self):
-        return f"SmoothStep({self.start}, {self.end})"
-
-
-class Between(Varying[T]):
-    """Remaps t from [t_start, t_end] to [0,1] before evaluating the inner schedule."""
-
-    def __init__(self, t_start: float, t_end: float, varying: Varying[T]):
-        self.t_start, self.t_end = t_start, t_end
-        self.varying = varying
-
-    def __call__(self, t: float) -> T:
-        t = clamp((t - self.t_start) / (self.t_end - self.t_start), 0.0, 1.0)
-        return self.varying(t)
-
-    def __repr__(self):
-        return f"Between({self.t_start}, {self.t_end}, {self.varying})"
+    def at(self, t: float):
+        values = [self.start] + [v for _, v in self.steps]
+        i = bisect.bisect_right([th for th, _ in self.steps], t)
+        return values[i]
 
 
-VaryingFloat = Union[Varying, float]
-VaryingInt = Union[Varying, int]
+@dataclass(frozen=True)
+class Between(Schedule):
+    """Evaluate `inner` with t remapped from [t_start, t_end] onto [0, 1],
+    clamping outside the window (holds inner(0) before, inner(1) after)."""
+    t_start: float
+    t_end: float
+    inner: Schedule
+
+    def at(self, t: float):
+        u = clamp((t - self.t_start) / (self.t_end - self.t_start), 0.0, 1.0)
+        return self.inner.at(u)
 
 
-def eval_varying(value, t) -> T:
-    t = float(t)
-    return value(t) if isinstance(value, Varying) else value
+# Back-compatible aliases: call sites and YAML refer to "Varying" schedules.
+Varying = Schedule
+VaryingFloat = Union[Schedule, float]
+VaryingInt = Union[Schedule, int]
+
+
+def eval_varying(value, t):
+    """Evaluate a schedule-or-plain-value at progress t."""
+    return value.at(float(t)) if isinstance(value, Schedule) else value
 
 
 def eval_varyings(value, t: float):
-    """Recursively evaluate all Varying leaves inside nested dict/list structures."""
+    """Recursively evaluate all schedule leaves inside nested dict/list trees."""
     if isinstance(value, Mapping):
         return {k: eval_varyings(v, t) for k, v in value.items()}
     if isinstance(value, (list, tuple)):
         return type(value)(eval_varyings(v, t) for v in value)
-    if isinstance(value, Varying):
-        return value(t)
+    if isinstance(value, Schedule):
+        return value.at(t)
     return value

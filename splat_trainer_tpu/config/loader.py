@@ -26,7 +26,8 @@ def register(cls, name: str | None = None):
 
 def _default_registry():
     from splat_trainer_tpu.config import (
-        Between, Constant, Linear, LogDecay, LogLinear, Piecewise, SmoothStep,
+        Between, Constant, Linear, LogDecay, LogLinear, Piecewise, Scaled,
+        SmoothStep,
     )
     from splat_trainer_tpu.controller import DisabledConfig, MCMCConfig, TargetConfig
     from splat_trainer_tpu.models.color_model import ColorModelConfig
@@ -41,8 +42,8 @@ def _default_registry():
         BilateralCorrectorConfig, NilCorrectorConfig,
     )
 
-    for cls in [Constant, Linear, LogDecay, LogLinear, Piecewise, SmoothStep,
-                Between, TargetConfig, MCMCConfig, DisabledConfig,
+    for cls in [Constant, Linear, LogDecay, LogLinear, Piecewise, Scaled,
+                SmoothStep, Between, TargetConfig, MCMCConfig, DisabledConfig,
                 ColorModelConfig, MLPSceneConfig, TrainConfig, CloudInitConfig,
                 RandomSamplerConfig, BatchOverlapSamplerConfig,
                 TargetOverlapConfig, NormalizationConfig,

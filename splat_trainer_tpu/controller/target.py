@@ -90,16 +90,16 @@ def densify_device(
         point_opt=reset_slots(scene.point_opt, refreshed),
         visible_acc=jnp.where(refreshed, 0.0, scene.visible_acc),
     )
-    # reference resets ALL stats after densify (target_controller.py:122)
-    pstate = PointState.new_zeros(active.shape[0])
-
     metrics = {
         "n": new_active.sum(),
         "prune": prune_mask.sum(),
         "split": split_mask.sum(),
         "dropped_children": dropped,
+        # points that accumulated no prune_cost this interval (pre-reset stats)
         "unseen": (active & (pstate.prune_cost == 0)).sum(),
     }
+    # reference resets ALL stats after densify (target_controller.py:122)
+    pstate = PointState.new_zeros(active.shape[0])
     return scene, pstate, metrics
 
 

@@ -205,6 +205,12 @@ def render_projected(
 
     if backend == "pallas":
         interpret = jax.default_backend() == "cpu"
+        if not interpret and config.chunk_size % 128 != 0:
+            # Mosaic requires HBM slices along the lane dimension to be
+            # 128-aligned; interpret mode (CPU tests) accepts any size.
+            raise ValueError(
+                f"pallas backend on TPU needs chunk_size % 128 == 0, got "
+                f"{config.chunk_size} (use the dense backend for tiny scenes)")
         fn = _make_pallas_fn(grid, camera.image_size, config, interpret)
     elif backend == "dense":
         fn = _make_dense_fn(grid, camera.image_size, config)

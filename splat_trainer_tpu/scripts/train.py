@@ -85,6 +85,11 @@ def cfg_from_args(argv=None):
     args = p.parse_args(argv)
 
     overrides = list(args.overrides)
+    # argparse greedily binds the first positional to dataset_path; when no
+    # dataset dir is given, `a.b=c` overrides land there — reroute them.
+    if args.dataset_path and "=" in args.dataset_path:
+        overrides.insert(0, args.dataset_path)
+        args.dataset_path = None
 
     def ov(path, value):
         if value is not None:

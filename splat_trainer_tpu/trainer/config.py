@@ -74,9 +74,13 @@ class TrainConfig:
     seed: int = 0
 
     def raster_config(self, render_median_depth: bool = False) -> RasterConfig:
+        # Antialias keeps the low-pass blur and lets the projection's
+        # compensation term rescale opacity (mip-splatting style). Zeroing
+        # blur_cov here would make compensation exactly 1 and silently turn
+        # antialias into a no-op that also removes the low-pass filter.
         return RasterConfig(
             tile_size=self.tile_size,
-            blur_cov=0.0 if self.antialias else self.blur_cov,
+            blur_cov=self.blur_cov,
             antialias=self.antialias,
             max_instances=self.max_instances,
             chunk_size=self.chunk_size,

@@ -102,7 +102,7 @@ class Trainer:
             ),
             donate_argnums=(0, 1),
         )
-        self._densify = None  # built lazily per controller type
+        self._densify = self._build_controller_fns()
 
     # -- construction -------------------------------------------------------
 
@@ -189,6 +189,8 @@ class Trainer:
 
     def update_config(self, **kwargs):
         self.config = replace(self.config, **kwargs)
+        if "controller" in kwargs:
+            self._densify = self._build_controller_fns()
 
     # -- paths / io ----------------------------------------------------------
 
@@ -398,17 +400,41 @@ class Trainer:
         if clipped > 0:
             self.logger.log_value("train/clipped_instances", clipped)
 
+    def _build_controller_fns(self) -> SimpleNamespace:
+        """Jit the controller's device programs ONCE per Trainer.
+
+        Re-jitting per call (a fresh functools.partial every invocation) would
+        retrace + recompile each densify — and for MCMC, every non-densify
+        step. Schedule-dependent quantities (t, target_points, noise_level)
+        stay traced arguments so the compiled program is reused.
+        """
+        cfg = self.config.controller
+        fns = SimpleNamespace(densify=None, noise=None)
+        if isinstance(cfg, TargetConfig):
+            fns.densify = jax.jit(functools.partial(
+                densify_device,
+                prune_rate=cfg.prune_rate, min_views=cfg.min_views,
+                max_scale_px=cfg.max_scale_px, min_split_px=cfg.min_split_px,
+            ), donate_argnums=(0, 1))
+        elif isinstance(cfg, MCMCConfig):
+            fns.densify = jax.jit(functools.partial(
+                mcmc_prune_split,
+                opacity_threshold=cfg.opacity_threshold,
+                max_scale_px=cfg.max_scale_px,
+                min_split_px=cfg.min_split_px), donate_argnums=(0, 1))
+            fns.noise = jax.jit(functools.partial(
+                mcmc_noise_step,
+                opacity_threshold=cfg.opacity_threshold,
+                min_views=cfg.min_views), donate_argnums=(0,))
+        return fns
+
     def controller_step(self):
         cfg = self.config.controller
         ctl = self.controller
         if isinstance(cfg, TargetConfig):
             if ctl.should_densify(self.progress):
                 args = ctl.densify_args(self.progress)
-                self.scene, self.pstate, metrics = jax.jit(functools.partial(
-                    densify_device,
-                    prune_rate=cfg.prune_rate, min_views=cfg.min_views,
-                    max_scale_px=cfg.max_scale_px, min_split_px=cfg.min_split_px,
-                ), donate_argnums=(0, 1))(
+                self.scene, self.pstate, metrics = self._densify.densify(
                     self.scene, self.pstate, self._next_key(),
                     t=jnp.float32(args["t"]),
                     target_points=jnp.int32(args["target_points"]))
@@ -416,19 +442,12 @@ class Trainer:
                     "densify", {k: int(v) for k, v in metrics.items()})
         elif isinstance(cfg, MCMCConfig):
             if ctl.should_densify(self.progress):
-                self.scene, self.pstate, metrics = jax.jit(functools.partial(
-                    mcmc_prune_split,
-                    opacity_threshold=cfg.opacity_threshold,
-                    max_scale_px=cfg.max_scale_px,
-                    min_split_px=cfg.min_split_px), donate_argnums=(0, 1))(
+                self.scene, self.pstate, metrics = self._densify.densify(
                     self.scene, self.pstate, self._next_key())
                 self.logger.log_values(
                     "densify", {k: int(v) for k, v in metrics.items()})
             else:
-                self.scene = jax.jit(functools.partial(
-                    mcmc_noise_step,
-                    opacity_threshold=cfg.opacity_threshold,
-                    min_views=cfg.min_views), donate_argnums=(0,))(
+                self.scene = self._densify.noise(
                     self.scene, self.pstate, self._next_key(),
                     noise_level=jnp.float32(ctl.noise_level(self.progress)))
 

@@ -1,0 +1,113 @@
+"""Regression tests for round-2 fixes: antialias semantics, densify `unseen`
+metric, Scaled schedule round-trip, controller jit caching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splat_trainer_tpu.config import LogDecay, Scaled
+from splat_trainer_tpu.config.loader import config_to_tree, instantiate
+from splat_trainer_tpu.controller.point_state import PointState
+from splat_trainer_tpu.controller.target import densify_device
+from splat_trainer_tpu.core.types import RasterConfig
+from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig, init_scene
+from splat_trainer_tpu.core.types import Gaussians3D
+from splat_trainer_tpu.ops import projection
+from splat_trainer_tpu.trainer.config import TrainConfig
+from splat_trainer_tpu.utils import transforms
+from tests.fixtures import look_at_camera
+
+
+def subpixel_gaussians(n=8, log_scale=-7.0):
+    """Gaussians much smaller than a pixel at the fixture camera distance."""
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (n, 3), minval=-0.3, maxval=0.3)
+    return Gaussians3D(
+        position=pos,
+        rotation=transforms.normalize(jnp.tile(jnp.array([0., 0., 0., 1.]), (n, 1))),
+        log_scaling=jnp.full((n, 3), log_scale),
+        alpha_logit=jnp.full((n, 1), 2.0),
+        feature=jnp.ones((n, 3)),
+    )
+
+
+def test_antialias_changes_subpixel_output():
+    """Antialias mode must reduce the opacity of sub-pixel gaussians via the
+    blur compensation term — it must not silently zero the low-pass filter."""
+    g = subpixel_gaussians()
+    cam = look_at_camera((64, 64))
+
+    cfg_plain = TrainConfig(antialias=False).raster_config()
+    cfg_aa = TrainConfig(antialias=True).raster_config()
+
+    # the fix: antialias keeps the low-pass blur
+    assert cfg_aa.blur_cov == cfg_plain.blur_cov > 0
+
+    g2d_plain = projection.project_to_image(g, cam, cfg_plain)
+    g2d_aa = projection.project_to_image(g, cam, cfg_aa)
+
+    op_plain = np.asarray(g2d_plain.opacity)
+    op_aa = np.asarray(g2d_aa.opacity)
+    vis = np.asarray(g2d_plain.visible)
+    assert vis.any()
+    # sub-pixel splats are dominated by blur_cov -> strong compensation
+    assert (op_aa[vis] < 0.5 * op_plain[vis]).all(), (op_aa[vis], op_plain[vis])
+
+
+def test_antialias_near_noop_for_large_gaussians():
+    g = subpixel_gaussians(log_scale=-1.0)  # large splats: blur negligible
+    cam = look_at_camera((64, 64))
+    g2d_plain = projection.project_to_image(g, cam, TrainConfig(antialias=False).raster_config())
+    g2d_aa = projection.project_to_image(g, cam, TrainConfig(antialias=True).raster_config())
+    vis = np.asarray(g2d_plain.visible)
+    np.testing.assert_allclose(np.asarray(g2d_aa.opacity)[vis],
+                               np.asarray(g2d_plain.opacity)[vis], rtol=0.05)
+
+
+def test_densify_unseen_metric():
+    """`unseen` must count active points with zero accumulated prune_cost in
+    the *pre-reset* PointState (round-1 bug: computed after zeroing)."""
+    key = jax.random.PRNGKey(3)
+    cfg = MLPSceneConfig(point_features=4, image_features=4)
+    initial = subpixel_gaussians(16, log_scale=-3.0).replace(
+        feature=jnp.ones((16, cfg.point_features)))
+    scene = init_scene(key, cfg, initial, num_images=2, capacity=64)
+    cap = int(scene.active.shape[0])
+
+    pstate = PointState.new_zeros(cap)
+    # 5 of the 16 active points have been seen (nonzero prune_cost)
+    seen = jnp.arange(cap) < 5
+    pstate = pstate.replace(
+        prune_cost=jnp.where(seen, 1.0, 0.0),
+        points_in_view=jnp.where(seen, 10, 0).astype(jnp.int32),
+    )
+
+    _, _, metrics = jax.jit(
+        lambda s, p, k: densify_device(
+            s, p, k, t=jnp.float32(0.5), target_points=jnp.int32(16),
+            prune_rate=0.0, min_views=1, max_scale_px=1e9, min_split_px=0.0)
+    )(scene, pstate, jax.random.PRNGKey(4))
+
+    assert int(metrics["unseen"]) == 16 - 5
+
+
+def test_scaled_schedule_roundtrip():
+    s = LogDecay(1.0, 0.1) * 2.5
+    assert isinstance(s, Scaled)
+    assert np.isclose(s(0.0), 2.5) and np.isclose(s(1.0), 0.25)
+    # gains fold
+    assert isinstance(s * 2, Scaled) and np.isclose((s * 2).gain, 5.0)
+    tree = config_to_tree(s)
+    s2 = instantiate(tree)
+    assert np.isclose(s2(0.37), s(0.37))
+
+
+def test_controller_fns_built_once():
+    """Trainer must not construct a fresh jit wrapper per controller_step."""
+    import functools
+    from splat_trainer_tpu.trainer import trainer as trainer_mod
+    src = open(trainer_mod.__file__).read()
+    # the cached namespace exists and controller_step doesn't call jax.jit
+    body = src.split("def controller_step")[1].split("\n    def ")[0]
+    assert "jax.jit" not in body
+    assert "_build_controller_fns" in src
