@@ -50,6 +50,8 @@ class TrainConfig:
     log_details: bool = False
     log_images: bool = True
     vis_clusters: int = 1024
+    # reference k-means runs 100 Lloyd iterations (cluster.py:150-180)
+    vis_cluster_iters: int = 100
 
     # losses
     ssim_weight: float = 1.0

@@ -34,7 +34,7 @@ from splat_trainer_tpu.models import mlp_scene as ms
 from splat_trainer_tpu.trainer import checkpoint as ckpt
 from splat_trainer_tpu.trainer import exception
 from splat_trainer_tpu.trainer.config import TrainConfig
-from splat_trainer_tpu.trainer.evaluation import Evaluation
+from splat_trainer_tpu.trainer.evaluation import Evaluation, eval_image_device
 from splat_trainer_tpu.trainer.init import get_initial_gaussians
 from splat_trainer_tpu.trainer.loading import ThreadedLoader
 from splat_trainer_tpu.trainer.train_step import TrainBatch, make_hyper, train_step
@@ -103,6 +103,17 @@ class Trainer:
             donate_argnums=(0, 1),
         )
         self._densify = self._build_controller_fns()
+
+        # whole per-view evaluation (render + metrics + cluster features) as
+        # one compiled program; point_labels/num_clusters keyed statically
+        self._num_clusters = min(config.vis_clusters, scene.capacity)
+        self._eval_render = jax.jit(functools.partial(
+            eval_image_device,
+            scene_config=config.scene,
+            raster_config=config.raster_config(render_median_depth=True),
+            image_size=self.camera_table.image_size,
+            num_clusters=self._num_clusters,
+        ))
 
     # -- construction -------------------------------------------------------
 
@@ -254,19 +265,32 @@ class Trainer:
         return ms.render(self.scene, self.config.scene, camera, idx, rcfg,
                          specular_weight=options.get("specular_weight", 1.0))
 
-    def evaluate_image(self, view: ImageView) -> Evaluation:
+    def _evaluate_view(self, view: ImageView, point_labels=None):
+        """One view through the compiled eval program. Returns
+        (Evaluation, cluster features (K,), visibility mask (C,))."""
         camera = self.camera_params(view.image_idx)
-        rendering = self.render(camera, view.image_idx, render_median_depth=True)
+        if point_labels is None:
+            point_labels = jnp.zeros((self.scene.capacity,), jnp.int32)
+        rendering, metrics, feats, vis_mask = self._eval_render(
+            self.scene, camera.T_camera_world, camera.projection,
+            camera.near_plane, camera.far_plane,
+            jnp.int32(view.image_idx), jnp.asarray(view.image), point_labels)
         source = jnp.asarray(view.image, jnp.float32) / 255.0
-        return Evaluation(view.filename, rendering, source)
+        ev = Evaluation(view.filename, rendering, source, precomputed=metrics)
+        return ev, feats, vis_mask
+
+    def evaluate_image(self, view: ImageView) -> Evaluation:
+        ev, _feats, _vis = self._evaluate_view(view)
+        return ev
 
     def evaluate_training(self, name: str, views: Sequence[ImageView]):
         """Eval + view-clustering rebuild (reference trainer.py:327-371)."""
         worst = Heap(self.config.log_worst_images)
         metrics = {}
         point_clusters = cluster.PointClusters.cluster(
-            self.scene.points["position"], self.config.vis_clusters,
-            active=self.scene.active, key=self._next_key())
+            self.scene.points["position"], self._num_clusters,
+            active=self.scene.active, key=self._next_key(),
+            iters=self.config.vis_cluster_iters)
 
         features = []
         log_idx = set(self._rng.choice(
@@ -275,12 +299,12 @@ class Trainer:
         point_visible = np.zeros(self.scene.capacity, np.int32)
 
         for i, view in enumerate(views):
-            ev = self.evaluate_image(view)
+            ev, feats, vis_mask = self._evaluate_view(
+                view, point_clusters.point_labels)
             metrics[view.filename] = ev.metrics
             worst.push(-ev.psnr, ev)
-            vis = ev.rendering.points.visibility
-            features.append(point_clusters.view_features(vis))
-            point_visible += np.asarray(vis > 0, np.int32)
+            features.append(feats)
+            point_visible += np.asarray(vis_mask, np.int32)
             if i in log_idx:
                 self.log_evaluation_images(f"{name}_images/{ev.image_id}", ev,
                                            log_source=self.step == 0)

@@ -27,7 +27,7 @@ class PointClusters:
 
     @staticmethod
     def cluster(positions, num_clusters: int, active=None,
-                key=None, iters: int = 20) -> "PointClusters":
+                key=None, iters: int = 100) -> "PointClusters":
         k = min(num_clusters, positions.shape[0])
         labels, centroids = kmeans(positions, k, iters=iters, key=key, mask=active)
         return PointClusters(point_labels=labels, centroids=centroids)
