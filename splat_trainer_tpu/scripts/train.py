@@ -35,6 +35,16 @@ def build_dataset(ds_cfg: dict):
             image_scale=ds_cfg.get("image_scale") or 1.0,
             white_background=ds_cfg.get("white_background", True),
             limit_images=ds_cfg.get("limit_images"))
+    if kind == "procedural":
+        from splat_trainer_tpu.data.procedural import ProceduralDataset
+        return ProceduralDataset(
+            num_images=ds_cfg.get("num_images", 64),
+            image_size=tuple(ds_cfg.get("image_size", (768, 512))),
+            seed=ds_cfg.get("seed", 0),
+            split_every=ds_cfg.get("split_every", 8),
+            appearance_jitter=ds_cfg.get("appearance_jitter", 0.0),
+            pose_noise=ds_cfg.get("pose_noise", 0.0),
+            verbose=ds_cfg.get("verbose", False))
     if kind == "synthetic":
         from splat_trainer_tpu.data.synthetic import SyntheticDataset
         return SyntheticDataset(
@@ -62,7 +72,8 @@ def cfg_from_args(argv=None):
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--output", default="runs", help="output base dir")
     p.add_argument("--run-name", default=None)
-    p.add_argument("--dataset-kind", default=None, choices=["colmap", "blender", "synthetic"])
+    p.add_argument("--dataset-kind", default=None,
+                   choices=["colmap", "blender", "synthetic", "procedural"])
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--target-points", type=int, default=None)
     p.add_argument("--initial-points", type=int, default=None)
@@ -104,6 +115,10 @@ def cfg_from_args(argv=None):
     ov("trainer.eval_steps", args.eval_steps)
     ov("trainer.target_points", args.target_points)
     ov("trainer.cloud_init.initial_points", args.initial_points)
+    if args.initial_points is not None:
+        # keep the reference's default split: half of the initial points come
+        # from the dataset cloud, the rest are balanced random top-up
+        ov("trainer.cloud_init.limit_points", args.initial_points // 2)
     ov("trainer.view_selection.batch_size", args.batch_size)
     ov("trainer.seed", args.seed)
     if args.antialias:
