@@ -357,11 +357,28 @@ class ProceduralDataset(ds.Dataset):
         img = np.clip(img, 0.0, 1.0) ** (1 / 2.2)
         return (img * 255).astype(np.uint8)
 
+    def _cache_path(self, i: int):
+        import hashlib
+        import os
+        w, h = self._image_size
+        key = (f"{self.seed}-{len(self._images)}-{w}x{h}-{self.supersample}-"
+               f"{self.appearance_jitter}")
+        tag = hashlib.sha1(key.encode()).hexdigest()[:12]
+        d = os.environ.get("PROC_DATASET_CACHE", "/tmp/proc_dataset_cache")
+        os.makedirs(d, exist_ok=True)
+        return f"{d}/{tag}_{i:03d}.npy"
+
     def _image(self, i: int) -> np.ndarray:
         if self._images[i] is None:
-            if self._verbose:
-                print(f"[procedural] rendering view {i}")
-            self._images[i] = self._render_image(i)
+            import os
+            path = self._cache_path(i)
+            if os.path.exists(path):
+                self._images[i] = np.load(path)
+            else:
+                if self._verbose:
+                    print(f"[procedural] rendering view {i}")
+                self._images[i] = self._render_image(i)
+                np.save(path, self._images[i])
         return self._images[i]
 
     def load_images(self):

@@ -85,6 +85,9 @@ def cfg_from_args(argv=None):
     p.add_argument("--mcmc", action="store_true", help="use the MCMC controller")
     p.add_argument("--no-densify", action="store_true")
     p.add_argument("--antialias", action="store_true")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all local devices (batch_size "
+                        "must be a multiple of the device count)")
     p.add_argument("--overlap-batching", action="store_true",
                    help="use TargetOverlap view selection")
     p.add_argument("--save-checkpoints", action="store_true")
@@ -123,6 +126,8 @@ def cfg_from_args(argv=None):
     ov("trainer.seed", args.seed)
     if args.antialias:
         ov("trainer.antialias", "true")
+    if args.dp:
+        ov("trainer.dp", "true")
     if args.save_checkpoints:
         ov("trainer.save_checkpoints", "true")
     if args.tensorboard:
@@ -132,7 +137,22 @@ def cfg_from_args(argv=None):
 
 def train_with_config(tree: dict, run_path: Path):
     from splat_trainer_tpu.config.loader import instantiate, save_resolved
+    from splat_trainer_tpu.parallel import maybe_init_distributed
     from splat_trainer_tpu.trainer.trainer import Trainer
+
+    # a user who explicitly forces virtual host devices wants the CPU mesh
+    # (the environment may pin another platform via sitecustomize)
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    if maybe_init_distributed():
+        import jax
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} devices")
 
     run_path.mkdir(parents=True, exist_ok=True)
     save_resolved(run_path / "config.yaml", tree)

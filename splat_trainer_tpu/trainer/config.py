@@ -70,6 +70,12 @@ class TrainConfig:
     # capacity headroom over target_points (static allocation)
     capacity_margin: float = 1.05
 
+    # multi-chip data parallelism over cameras (SURVEY.md §2.4): replicated
+    # scene, camera-sharded batches, psum'd gradients over ICI. The global
+    # batch size must be a multiple of the mesh size (k images per chip).
+    dp: bool = False
+    dp_devices: Optional[int] = None  # None = all local devices
+
     # output
     save_checkpoints: bool = False
     save_output: bool = True

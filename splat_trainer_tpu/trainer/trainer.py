@@ -92,16 +92,42 @@ class Trainer:
         self._rng = np.random.RandomState(config.seed)
         self._key = jax.random.PRNGKey(config.seed)
 
-        self._train_step = jax.jit(
-            functools.partial(
-                train_step,
-                scene_config=config.scene,
-                raster_config=config.raster_config(),
-                image_size=self.camera_table.image_size,
-                ssim_levels=config.ssim_levels,
-            ),
-            donate_argnums=(0, 1),
-        )
+        self.mesh = None
+        self._batch_sharding = None
+        if config.dp:
+            from splat_trainer_tpu.parallel import data_parallel as dpar
+            devices = jax.devices()
+            if config.dp_devices is not None:
+                devices = devices[:config.dp_devices]
+            self.mesh = dpar.make_camera_mesh(devices)
+            bs = getattr(config.view_selection, "batch_size", 1)
+            if bs % self.mesh.size != 0:
+                raise ValueError(
+                    f"dp needs batch_size ({bs}) % mesh size "
+                    f"({self.mesh.size}) == 0 (k images per chip)")
+            self._train_step, self._batch_sharding, self._rep_sharding = (
+                dpar.make_dp_train_step(
+                    self.mesh,
+                    scene_config=config.scene,
+                    raster_config=config.raster_config(),
+                    image_size=self.camera_table.image_size,
+                    ssim_levels=config.ssim_levels))
+            # replicate training state across the mesh; densify and the
+            # optimizer then run identically on every chip (one psum per
+            # step is the only cross-chip traffic)
+            self.scene = jax.device_put(self.scene, self._rep_sharding)
+            self.pstate = jax.device_put(self.pstate, self._rep_sharding)
+        else:
+            self._train_step = jax.jit(
+                functools.partial(
+                    train_step,
+                    scene_config=config.scene,
+                    raster_config=config.raster_config(),
+                    image_size=self.camera_table.image_size,
+                    ssim_levels=config.ssim_levels,
+                ),
+                donate_argnums=(0, 1),
+            )
         self._densify = self._build_controller_fns()
 
         # whole per-view evaluation (render + metrics + cluster features) as
@@ -391,8 +417,11 @@ class Trainer:
         idx = jnp.asarray([v.image_idx for v in views])
         t, proj, near, far = self.camera_table.gather_batch(idx)
         images = jnp.asarray(np.stack([v.image for v in views]))
-        return TrainBatch(images=images, image_idx=idx, T_camera_world=t,
-                          projection=proj, near=near, far=far)
+        batch = TrainBatch(images=images, image_idx=idx, T_camera_world=t,
+                           projection=proj, near=near, far=far)
+        if self._batch_sharding is not None:
+            batch = jax.device_put(batch, self._batch_sharding)
+        return batch
 
     def iter_batches(self):
         while True:

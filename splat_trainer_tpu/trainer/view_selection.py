@@ -53,8 +53,12 @@ class RandomSampler(ViewSelection):
 
     def select_images(self, view_clustering, progress) -> np.ndarray:
         batch_size = int(eval_varying(self.config.batch_size, progress))
-        if self.next.shape[0] < batch_size:
-            self.next = self.rng.permutation(self.train_idx)
+        # top up with fresh epochs so batches are always exactly batch_size —
+        # ragged tail batches would retrigger jit compilation (and break the
+        # camera-sharded dp batch layout)
+        while self.next.shape[0] < batch_size:
+            self.next = np.concatenate(
+                [self.next, self.rng.permutation(self.train_idx)])
         batch, self.next = self.next[:batch_size], self.next[batch_size:]
         return batch
 

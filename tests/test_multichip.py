@@ -105,3 +105,80 @@ def test_dp_multiple_steps_improve(setup):
         if first is None:
             first = last
     assert last < first, (first, last)
+
+
+def _assert_replicated(tree, what: str):
+    """Every device's shard of a replicated array must be bitwise equal."""
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(
+                shards[0], s,
+                err_msg=f"{what}{jax.tree_util.keystr(path)} diverged")
+
+
+@pytest.mark.parametrize("batch_size", [8, 16])
+def test_trainer_dp_path(tmp_path, monkeypatch, batch_size):
+    """The Trainer's own dp route: sub-batched camera shards, densify on
+    replicated state with bitwise-identical results on every chip."""
+    import os
+    from splat_trainer_tpu.config import Constant
+    from splat_trainer_tpu.controller import TargetConfig
+    from splat_trainer_tpu.logger import NullLogger
+    from splat_trainer_tpu.trainer.config import TrainConfig
+    from splat_trainer_tpu.trainer.init import CloudInitConfig
+    from splat_trainer_tpu.trainer.trainer import Trainer
+    from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
+
+    monkeypatch.chdir(tmp_path)
+    os.environ["TQDM_DISABLE"] = "1"
+    dataset = SyntheticDataset(num_images=16, image_size=IMAGE_SIZE,
+                               num_points=150, split_every=8)
+    config = TrainConfig(
+        dp=True,
+        scene=ms.MLPSceneConfig(point_features=8, image_features=8),
+        controller=TargetConfig(densify_prune_interval=Constant(8),
+                                min_views=1),
+        view_selection=RandomSamplerConfig(batch_size=batch_size),
+        cloud_init=CloudInitConfig(initial_points=200, limit_points=100,
+                                   num_neighbors=3, min_view_overlap=2,
+                                   clamp_near=0.1),
+        total_steps=32, eval_steps=16, log_interval=8,
+        target_points=400, raster_backend="dense",
+        max_instances=1 << 13, chunk_size=16,
+        save_output=False, log_images=False, max_ssim_regression=1.0)
+
+    trainer = Trainer.initialize(config, dataset, NullLogger())
+    assert trainer.mesh is not None and trainer.mesh.size == 8
+
+    metrics = trainer.train()
+    assert np.isfinite(metrics["train_psnr"])
+    # at least one densify fired on the mesh
+    assert "densify" in trainer.logger
+
+    _assert_replicated(trainer.scene.points, "scene.points")
+    _assert_replicated(trainer.scene.active, "scene.active")
+    _assert_replicated(trainer.pstate, "pstate")
+    trainer.close()
+
+
+def test_trainer_dp_rejects_bad_batch():
+    from splat_trainer_tpu.logger import NullLogger
+    from splat_trainer_tpu.trainer.config import TrainConfig
+    from splat_trainer_tpu.trainer.init import CloudInitConfig
+    from splat_trainer_tpu.trainer.trainer import Trainer
+    from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
+
+    dataset = SyntheticDataset(num_images=16, image_size=IMAGE_SIZE,
+                               num_points=50, split_every=8)
+    config = TrainConfig(
+        dp=True, view_selection=RandomSamplerConfig(batch_size=3),
+        scene=ms.MLPSceneConfig(point_features=8, image_features=8),
+        cloud_init=CloudInitConfig(initial_points=64, limit_points=32,
+                                   num_neighbors=3, min_view_overlap=2,
+                                   clamp_near=0.1),
+        target_points=128, raster_backend="dense", save_output=False)
+    with pytest.raises(ValueError, match="batch_size"):
+        Trainer.initialize(config, dataset, NullLogger())
