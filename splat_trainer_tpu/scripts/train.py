@@ -58,6 +58,9 @@ def build_logger(kind: str, run_path: Path):
     if kind == "tensorboard":
         from splat_trainer_tpu.logger.tensorboard import TensorboardLogger
         return TensorboardLogger(str(run_path / "tensorboard"))
+    if kind == "wandb":
+        from splat_trainer_tpu.logger.wandb import WandbLogger
+        return WandbLogger(project="splat-trainer-tpu", name=run_path.name)
     from splat_trainer_tpu.logger import NullLogger
     return NullLogger()
 
@@ -92,6 +95,7 @@ def cfg_from_args(argv=None):
                    help="use TargetOverlap view selection")
     p.add_argument("--save-checkpoints", action="store_true")
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--wandb", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("overrides", nargs="*", default=[],
@@ -132,6 +136,8 @@ def cfg_from_args(argv=None):
         ov("trainer.save_checkpoints", "true")
     if args.tensorboard:
         ov("logger", "tensorboard")
+    if args.wandb:
+        ov("logger", "wandb")
     return args, overrides
 
 

@@ -129,6 +129,7 @@ class Trainer:
                 donate_argnums=(0, 1),
             )
         self._densify = self._build_controller_fns()
+        self._grad_fn = None  # details-mode gradient probe (built lazily)
 
         # whole per-view evaluation (render + metrics + cluster features) as
         # one compiled program; point_labels/num_clusters keyed statically
@@ -511,6 +512,28 @@ class Trainer:
         if bad:
             raise exception.NaNParameterException(
                 f"Non-finite entries detected: {bad}")
+
+        from splat_trainer_tpu.debug.diagnostics import (
+            log_checkpoint_diagnostics, log_gradient_histograms,
+        )
+        log_checkpoint_diagnostics(self.logger, self.scene, self.pstate)
+        if self.config.log_details and self.step > 0:
+            # one extra backward on a fresh batch to expose raw gradients
+            # (reference log_gradients, mlp_scene.py:168-178)
+            if self._grad_fn is None:
+                from splat_trainer_tpu.trainer.train_step import batch_gradients
+                self._grad_fn = jax.jit(functools.partial(
+                    batch_gradients,
+                    scene_config=self.config.scene,
+                    raster_config=self.config.raster_config(),
+                    image_size=self.camera_table.image_size,
+                    ssim_levels=self.config.ssim_levels))
+            batch = next(self.iter_batches())
+            hyper = make_hyper(self.config.scene, self.config, self.progress.t)
+            bundle = self._grad_fn(self.scene, batch, hyper)
+            log_gradient_histograms(
+                self.logger, bundle.grads.points, bundle.vis_acc,
+                vis_smooth=self.config.scene.vis_smooth)
 
         metrics = self.evaluate()
 
