@@ -8,9 +8,16 @@ depthwise convolution with 3 channels maps terribly onto the TPU (measured
 Differentiable by construction — no custom backward required.
 
 Matches fused_ssim(padding="valid") semantics: statistics only where the
-window fully overlaps the image. `precision` selects matmul precision:
-DEFAULT (bf16 passes) for the training loss, HIGHEST for evaluation
-metrics.
+window fully overlaps the image.
+
+`precision` is HIGHEST (f32) everywhere, including the loss path. The
+variance/covariance terms are differences of squares of O(1) values with
+O(1e-3) magnitude — in bf16 contractions they cancel catastrophically, and
+while the SSIM *value* still looks plausible, its *gradient* is structured
+garbage. On a real TPU chip this silently stalled full-scene training at
+~9 dB PSNR (round-2 debugging); MSE-only training converged. f32 banded
+matmuls cost ~3x the bf16 path but SSIM remains a small fraction of the
+step.
 """
 
 from functools import partial
@@ -76,12 +83,12 @@ def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def multiscale_ssim_loss(pred: jnp.ndarray, ref: jnp.ndarray, levels: int = 3,
-                         precision=lax.Precision.DEFAULT):
+                         precision=lax.Precision.HIGHEST):
     """Multi-scale SSIM loss: mean over pyramid levels of (1 - ssim).
 
     Mirrors Trainer.compute_ssim_loss (trainer.py:450-462). Returns
-    (loss, full-resolution ssim metric). Uses fast (bf16-pass) matmul
-    precision by default — appropriate for a loss term.
+    (loss, full-resolution ssim metric). HIGHEST precision — bf16
+    contractions corrupt the gradient (see module docstring).
     """
     ssim0 = ssim(pred, ref, precision=precision)
     loss = 1.0 - ssim0
