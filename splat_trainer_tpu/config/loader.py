@@ -32,6 +32,7 @@ def _default_registry():
     from splat_trainer_tpu.controller import DisabledConfig, MCMCConfig, TargetConfig
     from splat_trainer_tpu.models.color_model import ColorModelConfig
     from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
+    from splat_trainer_tpu.models.sh_scene import SHSceneConfig
     from splat_trainer_tpu.trainer.config import TrainConfig
     from splat_trainer_tpu.trainer.init import CloudInitConfig
     from splat_trainer_tpu.trainer.view_selection import (
@@ -44,7 +45,8 @@ def _default_registry():
 
     for cls in [Constant, Linear, LogDecay, LogLinear, Piecewise, Scaled,
                 SmoothStep, Between, TargetConfig, MCMCConfig, DisabledConfig,
-                ColorModelConfig, MLPSceneConfig, TrainConfig, CloudInitConfig,
+                ColorModelConfig, MLPSceneConfig, SHSceneConfig, TrainConfig,
+                CloudInitConfig,
                 RandomSamplerConfig, BatchOverlapSamplerConfig,
                 TargetOverlapConfig, NormalizationConfig,
                 BilateralCorrectorConfig, NilCorrectorConfig]:

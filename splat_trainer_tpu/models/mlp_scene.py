@@ -57,8 +57,11 @@ def default_reg_weight() -> Dict[str, VaryingFloat]:
     }
 
 
+from splat_trainer_tpu.models.scene import GaussianSceneConfig
+
+
 @dataclass(frozen=True)
-class MLPSceneConfig:
+class MLPSceneConfig(GaussianSceneConfig):
     """Mirrors reference MLPSceneConfig (mlp_scene.py:34-60) + mlp.yaml."""
     parameters: Dict[str, Dict[str, Any]] = field(default_factory=default_parameters)
     reg_weight: Dict[str, VaryingFloat] = field(default_factory=default_reg_weight)
@@ -86,6 +89,27 @@ class MLPSceneConfig:
 
     def lr_schedules(self) -> Dict[str, VaryingFloat]:
         return {k: v["lr"] for k, v in self.parameters.items()}
+
+    # -- GaussianSceneConfig contract ---------------------------------------
+
+    def init_scene(self, key, gaussians, num_images, capacity=None):
+        return init_scene(key, self, gaussians, num_images, capacity)
+
+    def eval_colors(self, scene, camera, image_idx):
+        return eval_scene_colors(scene, self, camera, image_idx)
+
+    def learning_rates(self, t: float) -> Dict[str, float]:
+        return eval_learning_rates(self, t)
+
+    def post_activation(self, image):
+        return cm.post_activation(image, self.color_model)
+
+    def to_sh_gaussians(self, scene, camera_table, raster_config,
+                        sh_degree: int = 2):
+        from splat_trainer_tpu.models.transfer_sh import scene_to_sh_gaussians
+        return scene_to_sh_gaussians(scene, self, camera_table,
+                                     sh_degree=sh_degree,
+                                     raster_config=raster_config)
 
 
 @struct.dataclass
@@ -217,18 +241,21 @@ def render(
     heur_sink: Optional[jax.Array] = None,
     specular_weight: float = 1.0,
 ) -> Rendering:
-    """Full scene render (reference MLPScene.render, mlp_scene.py:410-427)."""
+    """Full scene render (reference MLPScene.render, mlp_scene.py:410-427).
+
+    `config` is any GaussianSceneConfig — color evaluation and the final
+    activation go through the scene contract.
+    """
     if image_idx is not None:
         camera = refined_camera(scene, camera, image_idx)
-    diffuse, specular = eval_scene_colors(scene, config, camera, image_idx)
+    diffuse, specular = config.eval_colors(scene, camera, image_idx)
     colors = cm.total_color(diffuse, specular, specular_weight)
 
     rendering = renderer.render_gaussians(
         scene.gaussians(), colors, camera, raster_config,
         active=scene.active, heur_sink=heur_sink)
 
-    return rendering.replace(
-        image=cm.post_activation(rendering.image, config.color_model))
+    return rendering.replace(image=config.post_activation(rendering.image))
 
 
 def reg_loss(

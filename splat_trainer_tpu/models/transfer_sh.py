@@ -60,17 +60,23 @@ def scene_to_sh_gaussians(
     sh_degree: int = 2,
     max_views: int = 64,
     active_only: bool = True,
+    raster_config=None,
+    render_scale: float = 0.5,
 ) -> Gaussians3D:
     """Distill the MLP color model into standard SH gaussians
     (reference evaluate_sh_features / to_sh_gaussians, mlp_scene.py:384-398).
 
-    View weights use frustum membership (projection in-view) — the reference
-    renders per-view visibility, which is more exact but far more expensive;
-    the in-view weight is a documented approximation for export.
+    View weights are *rendered* visibility at `render_scale` resolution
+    (matching ref transfer_sh.py:53-113): occluded points contribute nothing
+    to the fit from views that can't see them, so exported SH doesn't get
+    confidently wrong colors on back sides.
     """
     import numpy as np
 
-    from splat_trainer_tpu.visibility.query_points import project_points
+    from splat_trainer_tpu.core.types import CameraParams, RasterConfig
+
+    if raster_config is None:
+        raster_config = RasterConfig()
 
     cams = camera_table.cameras
     train = np.asarray(cams.has_label(Label.Training)).nonzero()[0]
@@ -81,20 +87,30 @@ def scene_to_sh_gaussians(
     positions = scene.points["position"]
     cam_pos_all = cams.positions
 
-    # frustum membership for all selected views at once (V, N)
-    sub = jax.tree_util.tree_map(lambda x: x[train], cams)
-    _, _, in_view = project_points(sub, camera_table.image_size, positions)
+    w_img, h_img = camera_table.image_size
+    small_size = (max(int(w_img * render_scale), 8),
+                  max(int(h_img * render_scale), 8))
 
-    colors, weights = [], []
-    for j, idx in enumerate(np.asarray(train)):
-        camera = camera_table.camera_params(int(idx))
-        diffuse, specular = ms.eval_scene_colors(
-            scene, config, camera, jnp.asarray(int(idx)))
+    @jax.jit
+    def view_fn(scene, T, proj, near, far, idx):
+        camera = CameraParams(T_camera_world=T, projection=proj * render_scale,
+                              near_plane=near, far_plane=far,
+                              image_size=small_size)
+        diffuse, specular = ms.eval_scene_colors(scene, config, camera, idx)
         total = cm.post_activation(
             cm.total_color(diffuse, specular), config.color_model)
-        colors.append(total)
+        rendering = ms.renderer.render_gaussians(
+            scene.gaussians(), total, camera, raster_config,
+            active=scene.active)
+        return total, rendering.points.visibility
 
-        w = in_view[j].astype(jnp.float32)
+    colors, weights = [], []
+    for idx in np.asarray(train):
+        T, proj, near, far = camera_table.gather_batch(jnp.asarray([int(idx)]))
+        total, vis = view_fn(scene, T[0], proj[0], near[0], far[0],
+                             jnp.asarray(int(idx)))
+        colors.append(total)
+        w = vis
         if active_only:
             w = w * scene.active
         weights.append(w)

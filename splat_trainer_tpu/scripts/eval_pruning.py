@@ -30,15 +30,41 @@ def main(argv=None):
         base = trainer.state_dict()
         results = {}
 
+        # Rebuild the controller's *actual* prune signal: checkpointed
+        # PointState resets at densify/checkpoint boundaries, so accumulate
+        # fresh prune_cost with one backward per training view (exactly the
+        # statistics the TargetController ranks by — reference
+        # eval_pruning.py:64-146).
+        import functools
+
+        import jax
+
+        from splat_trainer_tpu.controller.point_state import PointState
+        from splat_trainer_tpu.trainer.train_step import batch_gradients, make_hyper
+
+        grad_fn = jax.jit(functools.partial(
+            batch_gradients,
+            scene_config=trainer.config.scene,
+            raster_config=trainer.config.raster_config(),
+            image_size=trainer.camera_table.image_size,
+            ssim_levels=trainer.config.ssim_levels))
+        hyper = make_hyper(trainer.config.scene, trainer.config,
+                           trainer.progress.t)
+        fresh = PointState.new_zeros(trainer.scene.capacity)
+        for view in trainer.dataset.train(shuffle=False):
+            bundle = grad_fn(trainer.scene,
+                             trainer.make_batch([view]), hyper)
+            fresh = fresh.add_rendering(
+                in_view=bundle.in_view_any, visibility=bundle.vis_acc,
+                screen_scale=bundle.scale_max,
+                split_score=bundle.heur[:, 0], prune_cost=bundle.heur[:, 1])
+        prune_cost = np.asarray(fresh.prune_cost)
+
         for frac in args.fractions:
             t = trainer.clone()
             if frac > 0:
-                # prune the lowest-visibility points (the prune_cost stats
-                # reset at checkpoints, so accumulated visibility is the
-                # stable retained signal)
-                vis = np.asarray(t.pstate.visibility)
                 active = np.asarray(t.scene.active)
-                score = np.where(active, vis, np.inf)
+                score = np.where(active, prune_cost, np.inf)
                 n_prune = int(active.sum() * frac)
                 idx = np.argsort(score)[:n_prune]
                 new_active = active.copy()

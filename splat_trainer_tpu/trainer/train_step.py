@@ -123,14 +123,14 @@ def batch_gradients(
             # gradients flow through the (autodiff) projection
             camera = ms.refined_camera(scene_p, camera, image_idx)
 
-            diffuse, specular = ms.eval_scene_colors(
-                scene_p, scene_config, camera, image_idx)
+            diffuse, specular = scene_config.eval_colors(
+                scene_p, camera, image_idx)
             colors = cm.total_color(diffuse, specular)
 
             rendering = renderer.render_gaussians(
                 scene_p.gaussians(), colors, camera, raster_config,
                 active=scene_p.active, heur_sink=heur_sink)
-            image = cm.post_activation(rendering.image, scene_config.color_model)
+            image = scene_config.post_activation(rendering.image)
 
             # optional bilateral color correction: the corrector absorbs
             # per-image exposure/white balance inside the loss (SURVEY.md
@@ -248,7 +248,7 @@ def make_hyper(scene_config: ms.MLPSceneConfig, train_cfg, t: float) -> Dict:
     """Host-side: evaluate all schedules at progress t into a flat pytree of
     python floats (traced leaves of the jitted step)."""
     from splat_trainer_tpu.config import eval_varyings
-    lrs = ms.eval_learning_rates(scene_config, t)
+    lrs = scene_config.learning_rates(t)
     corrector = getattr(train_cfg, "color_corrector", None)
     lrs["corrector"] = getattr(corrector, "lr", 0.0) if corrector else 0.0
     return {

@@ -151,8 +151,8 @@ class Trainer:
 
         initial = get_initial_gaussians(
             config.cloud_init, dataset.camera_table, dataset.pointcloud(), k_init)
-        scene = ms.init_scene(
-            k_scene, config.scene, initial, dataset.camera_table.num_images,
+        scene = config.scene.init_scene(
+            k_scene, initial, dataset.camera_table.num_images,
             capacity=config.capacity)
 
         from splat_trainer_tpu.color_corrector import BilateralCorrectorConfig
@@ -265,9 +265,8 @@ class Trainer:
         self.print(f"checkpoint saved to {paths.checkpoint}")
 
     def sh_gaussians(self):
-        from splat_trainer_tpu.models.transfer_sh import scene_to_sh_gaussians
-        g = scene_to_sh_gaussians(self.scene, self.config.scene,
-                                  self.camera_table)
+        g = self.config.scene.to_sh_gaussians(
+            self.scene, self.camera_table, self.config.raster_config())
         return self.dataset.to_original.transform_gaussians(g)
 
     # -- rendering / evaluation ----------------------------------------------
