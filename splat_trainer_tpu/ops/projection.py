@@ -47,7 +47,15 @@ def project_to_image(
     t0 = r[0][0] * px + r[0][1] * py + r[0][2] * pz + tc[0]
     t1 = r[1][0] * px + r[1][1] * py + r[1][2] * pz + tc[1]
     tz = r[2][0] * px + r[2][1] * py + r[2][2] * pz + tc[2]
-    safe_z = jnp.maximum(tz, 1e-6)
+    # Points at/behind the near plane are culled below, but the covariance
+    # chain still evaluates for them — with z -> 0 it OVERFLOWS f32
+    # (det -> inf -> conic NaN), and although the forward is masked, the
+    # backward drags NaN into every geometry gradient (the where-mask
+    # NaN-grad trap; observed as a whole-scene NaN mid-run on the garden-
+    # class milestone). Substitute a harmless depth for culled points so
+    # the masked branch stays finite in both directions.
+    in_front = tz > camera.near_plane
+    safe_z = jnp.where(in_front, jnp.maximum(tz, 1e-6), camera.far_plane)
     inv_z = 1.0 / safe_z
 
     u = fx * t0 * inv_z + cx
@@ -106,9 +114,13 @@ def project_to_image(
     s11 = T10 * c01 + T11 * c11 + T12 * c12
     s12 = T10 * c02 + T11 * c12 + T12 * c22
 
-    a_nb = s00 * T00 + s01 * T01 + s02 * T02
-    b = s00 * T10 + s01 * T11 + s02 * T12
-    c_nb = s10 * T10 + s11 * T11 + s12 * T12
+    # The 1e12-px^2 cap keeps det products far from f32 overflow for
+    # extreme (but culled) geometry while passing gradients unchanged for
+    # every splat that can actually appear on screen.
+    cov_cap = 1e12
+    a_nb = jnp.clip(s00 * T00 + s01 * T01 + s02 * T02, -cov_cap, cov_cap)
+    b = jnp.clip(s00 * T10 + s01 * T11 + s02 * T12, -cov_cap, cov_cap)
+    c_nb = jnp.clip(s10 * T10 + s11 * T11 + s12 * T12, -cov_cap, cov_cap)
 
     # low-pass filter (reference blur_cov=0.3; trainer.py:310)
     a = a_nb + config.blur_cov
