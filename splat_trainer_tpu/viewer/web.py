@@ -28,7 +28,13 @@ img{width:100vw;height:100vh;object-fit:contain;display:block}
   <div id="stats">connecting…</div>
   <label><input type="checkbox" id="depth"> depth</label>
   <label><input type="checkbox" id="pause"> pause training</label>
-  <label>specular <input type="range" id="spec" min="0" max="2" step="0.1" value="1"></label>
+  <label><input type="checkbox" id="aa"> antialias</label>
+  <label>specular <input type="range" id="spec" min="0" max="2" step="0.1" value="1"></label><br>
+  <label>camera <input type="number" id="cam" min="-1" value="-1" style="width:4em"> (-1 = orbit)</label>
+  <label>zoom <input type="range" id="zoom" min="0.2" max="5" step="0.1" value="1"></label><br>
+  <label>crop quantile <input type="range" id="quant" min="0.05" max="1" step="0.05" value="0.25"></label>
+  <button onclick="fetch('/crop?quantile='+document.getElementById('quant').value)">crop fg</button>
+  <button onclick="fetch('/restore')">restore</button>
 </div>
 <img id="view">
 <script>
@@ -42,10 +48,13 @@ document.onmousemove=e=>{ if(!drag) return;
   el=Math.max(-1.5,Math.min(1.5,el)); drag=[e.clientX,e.clientY]; };
 document.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001)};
 document.getElementById('pause').onchange=e=>fetch('/pause?on='+(e.target.checked?1:0));
+document.getElementById('aa').onchange=e=>fetch('/config?antialias='+(e.target.checked?1:0));
 async function loop(){
   const depth=document.getElementById('depth').checked?1:0;
   const spec=document.getElementById('spec').value;
-  img.src=`/render?az=${az}&el=${el}&r=${radius}&depth=${depth}&spec=${spec}&t=${Date.now()}`;
+  const cam=document.getElementById('cam').value;
+  const zoom=document.getElementById('zoom').value;
+  img.src=`/render?az=${az}&el=${el}&r=${radius}&depth=${depth}&spec=${spec}&cam=${cam}&zoom=${zoom}&t=${Date.now()}`;
   const s=await (await fetch('/stats')).json();
   document.getElementById('stats').textContent=JSON.stringify(s);
   setTimeout(loop, 100);
@@ -95,6 +104,17 @@ class WebViewer(Viewer):
                     elif url.path == "/pause":
                         viewer.trainer.set_paused(q.get("on") == "1")
                         self._send(b"ok", "text/plain")
+                    elif url.path == "/config":
+                        if "antialias" in q:
+                            viewer.trainer.update_config(
+                                antialias=q["antialias"] == "1")
+                        self._send(b"ok", "text/plain")
+                    elif url.path == "/crop":
+                        viewer.crop_foreground(float(q.get("quantile", 0.25)))
+                        self._send(b"ok", "text/plain")
+                    elif url.path == "/restore":
+                        viewer.restore_scene()
+                        self._send(b"ok", "text/plain")
                     else:
                         self.send_error(404)
                 except Exception as e:  # never kill the server
@@ -131,14 +151,34 @@ class WebViewer(Viewer):
         return CameraParams.create(T, [fx, fx, w / 2, h / 2],
                                    self.config.image_size)
 
+    def _training_camera(self, idx: int, zoom: float):
+        """Render from a dataset camera (reference camera select +
+        zoom modifiers, splatview.py:92-126) at the viewer resolution."""
+        table = self.trainer.camera_table
+        idx = max(0, min(idx, table.num_images - 1))
+        cam = table.camera_params(idx)
+        w0, h0 = table.image_size
+        w, h = self.config.image_size
+        sx, sy = w / w0, h / h0
+        proj = np.asarray(cam.projection) * np.array(
+            [sx * zoom, sy * zoom, sx, sy], np.float32)
+        return cam.replace(projection=proj, image_size=self.config.image_size), idx
+
     def render_jpeg(self, q) -> bytes:
         import cv2
 
-        camera = self._camera(float(q.get("az", 0)), float(q.get("el", 0.3)),
-                              float(q.get("r", 4)))
+        cam_idx = int(float(q.get("cam", -1)))
+        image_idx = None
+        if cam_idx >= 0:
+            camera, image_idx = self._training_camera(
+                cam_idx, float(q.get("zoom", 1.0)))
+        else:
+            camera = self._camera(float(q.get("az", 0)),
+                                  float(q.get("el", 0.3)),
+                                  float(q.get("r", 4)))
         with self._lock:
             rendering = self.trainer.render(
-                camera, render_median_depth=True,
+                camera, image_idx=image_idx, render_median_depth=True,
                 specular_weight=float(q.get("spec", 1.0)))
         if q.get("depth") == "1":
             from splat_trainer_tpu.utils.colorize import colorize
@@ -148,6 +188,31 @@ class WebViewer(Viewer):
                    ).astype(np.uint8)
         ok, buf = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         return buf.tobytes()
+
+    def crop_foreground(self, quantile: float = 0.25):
+        """Deactivate background points (reference crop button,
+        splatview.py:178-187 — theirs clones the scene; capacity slots make
+        a reversible active-mask crop the natural equivalent)."""
+        import jax.numpy as jnp
+
+        from splat_trainer_tpu.visibility.query_points import foreground_mask
+
+        with self._lock:
+            if getattr(self, "_saved_active", None) is None:
+                self._saved_active = self.trainer.scene.active
+            mask = foreground_mask(self.trainer.camera_table.cameras,
+                                   self.trainer.scene.points["position"],
+                                   quantile=quantile,
+                                   active=self._saved_active)
+            self.trainer.scene = self.trainer.scene.replace(
+                active=self._saved_active & jnp.asarray(mask))
+
+    def restore_scene(self):
+        with self._lock:
+            if getattr(self, "_saved_active", None) is not None:
+                self.trainer.scene = self.trainer.scene.replace(
+                    active=self._saved_active)
+                self._saved_active = None
 
     def stats(self) -> dict:
         t = self.trainer

@@ -96,11 +96,14 @@ def balanced_points(key, cameras: Cameras, image_size, n: int,
 
 
 def foreground_mask(cameras: Cameras, points: jnp.ndarray,
-                    quantile: float = 0.25) -> jnp.ndarray:
+                    quantile: float = 0.25,
+                    active: jnp.ndarray | None = None) -> jnp.ndarray:
     """Foreground = points closer than a depth quantile in some view
-    (query_points.py:190-214)."""
+    (query_points.py:190-214). `active` excludes unused capacity slots
+    from the quantile estimate."""
     r = cameras.camera_t_world[:, :3, :3]
     t = cameras.camera_t_world[:, :3, 3]
     z = jnp.einsum("cij,nj->cni", r, points)[..., 2] + t[:, 2:3]
-    thresh = jnp.quantile(z, quantile, axis=1, keepdims=True)
+    zq = z if active is None else jnp.where(active[None], z, jnp.nan)
+    thresh = jnp.nanquantile(zq, quantile, axis=1, keepdims=True)
     return ((z > 0) & (z < thresh)).any(axis=0)
