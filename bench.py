@@ -1,19 +1,121 @@
-"""Benchmark: full training step throughput on a garden-like synthetic scene.
+"""Benchmark: full training-step throughput at garden-recipe scale.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (last line),
+plus a per-phase breakdown and occupancy statistics on stderr-adjacent lines
+and in PROFILE.md.
+
+Honesty rules (round-2 rework after the round-1 number was challenged):
+- The scene comes from a TRAINED checkpoint under runs/ when one exists
+  (the milestone runs leave one), falling back to a surface-sampled
+  procedural cloud — NOT an i.i.d. random ball whose early-exit occupancy
+  flatters the kernel.
+- The step cycles through different cameras (no single-view cache effects).
+- instances/tile statistics and the clipped-instance count are reported, so
+  silent truncation or degenerate occupancy is visible.
+- Per-phase timings (project+bin / forward / forward+backward / ssim /
+  full step) are measured with blocking, and written to PROFILE.md.
 
 Baseline: taichi-splatting on A100 runs the Mip-NeRF-360 garden recipe
 (1536x1024, ~1M gaussians mid-training) at roughly 12 images/sec
-(BASELINE.md: no published numbers exist; this is the A100 figure the
-driver's north-star ratio is taken against).
+(BASELINE.md: the reference publishes no numbers; this is the A100 figure
+the driver's north-star ratio is taken against).
 """
 
+import functools
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 12.0
+IMAGE_SIZE = (1536, 1024)
+TARGET_POINTS = 1_000_000
+
+
+def load_checkpoint_scene():
+    """Latest trained checkpoint under runs/ -> (scene, config, camera table).
+
+    Returns None when no checkpoint is available (fresh clone)."""
+    import jax
+
+    from splat_trainer_tpu.config.loader import instantiate, load_config
+    from splat_trainer_tpu.scripts.train import build_dataset
+    from splat_trainer_tpu.trainer import checkpoint as ckpt
+
+    best = None
+    for cfg_path in sorted(Path("runs").glob("*/config.yaml")):
+        ws = cfg_path.parent
+        path = ckpt.find_latest_checkpoint(ws)
+        if path is None:
+            continue
+        step = int(str(path).rsplit("_", 1)[-1])
+        if best is None or step > best[0]:
+            best = (step, ws, path)
+    if best is None:
+        return None
+    step, ws, path = best
+    tree = load_config(ws / "config.yaml")
+    config = instantiate(tree["trainer"])
+    dataset = build_dataset(tree["dataset"])
+
+    scene_t = config.scene.init_scene(
+        jax.random.PRNGKey(0),
+        _surface_cloud(10_000, config.scene), dataset.camera_table.num_images,
+        capacity=config.capacity)
+    from splat_trainer_tpu.controller.point_state import PointState
+    state = ckpt.load_checkpoint(path, scene_t,
+                                 PointState.new_zeros(scene_t.capacity))
+    print(f"# scene: checkpoint {path} (step {step}, "
+          f"{int(np.asarray(state['scene'].active).sum())} active points)")
+    return state["scene"], config, dataset.camera_table
+
+
+def _surface_cloud(n_points, scene_config):
+    """Surface-sampled procedural cloud (fallback scene source): points ON
+    the courtyard surfaces with kNN-derived scales — trained-like occupancy,
+    unlike an i.i.d. ball."""
+    import jax
+
+    from splat_trainer_tpu.data import procedural as P
+    from splat_trainer_tpu.trainer.init import estimate_scale, from_scaled_pointcloud
+
+    ds = P.ProceduralDataset(num_images=8, image_size=(64, 64),
+                             cloud_points=n_points)
+    pc = ds.pointcloud()
+    import jax.numpy as jnp
+    pts = jnp.asarray(pc.points)
+    scales = estimate_scale(pts, 5) * 0.5
+    g = from_scaled_pointcloud(pts, jnp.asarray(pc.colors), scales, 0.7,
+                               feature_dim=3)
+    return g
+
+
+def fallback_scene():
+    import jax
+
+    from splat_trainer_tpu.data import procedural as P
+    from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
+
+    config_s = MLPSceneConfig()
+    g = _surface_cloud(TARGET_POINTS, config_s)
+    scene = config_s.init_scene(jax.random.PRNGKey(1), g, num_images=64,
+                                capacity=TARGET_POINTS)
+    ds = P.ProceduralDataset(num_images=64, image_size=(64, 64))
+    print(f"# scene: fallback surface-sampled cloud ({TARGET_POINTS} points)")
+
+    class _Cfg:
+        scene = config_s
+        l1_weight, mse_weight, ssim_weight = 0.0, 10.0, 1.0
+        ssim_levels = 3
+        color_corrector = None
+
+        @staticmethod
+        def raster_config(**kw):
+            from splat_trainer_tpu.core.types import RasterConfig
+            return RasterConfig(max_instances=1 << 22, chunk_size=128, **kw)
+
+    return scene, _Cfg, ds.camera_table
 
 
 def main():
@@ -21,74 +123,152 @@ def main():
     import jax.numpy as jnp
 
     from splat_trainer_tpu.controller.point_state import PointState
-    from splat_trainer_tpu.core.types import Gaussians3D, RasterConfig
-    from splat_trainer_tpu.models import mlp_scene as ms
+    from splat_trainer_tpu.core.types import CameraParams
+    from splat_trainer_tpu.ops import renderer, tiling
+    from splat_trainer_tpu.ops.projection import ndc_depth, project_to_image
+    from splat_trainer_tpu.ops.ssim import multiscale_ssim_loss
     from splat_trainer_tpu.trainer.train_step import (
-        TrainBatch, make_hyper, train_step,
+        TrainBatch, batch_gradients, make_hyper, train_step,
     )
-    from splat_trainer_tpu.utils import transforms
-    import functools
 
-    n_points = 1_000_000
-    image_size = (1536, 1024)
-    w, h = image_size
-
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 6)
-    # garden-like statistics: points in a ~4-unit shell, small scales
-    gaussians = Gaussians3D(
-        position=jax.random.normal(ks[0], (n_points, 3)) * 1.5,
-        rotation=transforms.normalize(jax.random.normal(ks[1], (n_points, 4))),
-        log_scaling=jax.random.uniform(ks[2], (n_points, 3),
-                                       minval=-6.0, maxval=-4.0),
-        alpha_logit=jax.random.uniform(ks[3], (n_points, 1),
-                                       minval=-2.0, maxval=2.0),
-        feature=jax.random.uniform(ks[4], (n_points, 3)),
-    )
-    config = ms.MLPSceneConfig()
-    scene = ms.init_scene(ks[5], config, gaussians, num_images=200,
-                          capacity=n_points)
+    loaded = None
+    try:
+        loaded = load_checkpoint_scene()
+    except Exception as e:
+        print(f"# checkpoint load failed ({e}); using fallback scene")
+    scene, cfg, camera_table = loaded if loaded else fallback_scene()
+    scene_config = cfg.scene
+    rcfg = cfg.raster_config()
     pstate = PointState.new_zeros(scene.capacity)
+    w, h = IMAGE_SIZE
 
-    rcfg = RasterConfig(max_instances=1 << 22, chunk_size=128)
+    # bench cameras: the dataset's own poses, intrinsics scaled to the
+    # bench resolution
+    cams = camera_table.cameras
+    n_cams = min(8, camera_table.num_images)
+    w0, h0 = camera_table.image_size
+    sx, sy = w / w0, h / h0
+    key = jax.random.PRNGKey(0)
+    batches = []
+    for i in range(n_cams):
+        T = cams.camera_t_world[i][None]
+        proj = (cams.intrinsics[i] * jnp.asarray([sx, sy, sx, sy]))[None]
+        batches.append(TrainBatch(
+            images=(jax.random.uniform(jax.random.fold_in(key, i),
+                                       (1, h, w, 3)) * 255).astype(jnp.uint8),
+            image_idx=jnp.array([i]),
+            T_camera_world=T, projection=proj,
+            near=cams.depth_range[i, 0][None], far=cams.depth_range[i, 1][None]))
 
-    eye = np.array([0.0, 0.0, -6.0], np.float32)
-    T = np.eye(4, dtype=np.float32)
-    T[:3, 3] = -T[:3, :3] @ eye
-    fx = 0.5 * w / np.tan(np.radians(30.0))
-    camera_t_world = jnp.asarray(T)[None]
-    projection = jnp.asarray([fx, fx, w / 2, h / 2])[None]
-
-    batch = TrainBatch(
-        images=(jax.random.uniform(ks[4], (1, h, w, 3)) * 255).astype(jnp.uint8),
-        image_idx=jnp.array([0]),
-        T_camera_world=camera_t_world,
-        projection=projection,
-        near=jnp.array([0.1]),
-        far=jnp.array([100.0]),
-    )
-
-    class _Cfg:
-        l1_weight, mse_weight, ssim_weight = 0.0, 10.0, 1.0
-
-    hyper = make_hyper(config, _Cfg, 0.1)
-
+    hyper = make_hyper(scene_config, cfg, 0.5)
     step = jax.jit(functools.partial(
-        train_step, scene_config=config, raster_config=rcfg,
-        image_size=image_size, ssim_levels=3), donate_argnums=(0, 1))
+        train_step, scene_config=scene_config, raster_config=rcfg,
+        ssim_levels=3), donate_argnums=(0, 1))
 
-    # compile + warmup
-    scene, pstate, metrics = step(scene, pstate, batch, hyper, ks[0])
-    jax.block_until_ready(metrics.mse)
+    def timeit(fn, iters=10, warmup=2):
+        out = None
+        for _ in range(warmup):
+            out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
 
-    iters = 20
-    t0 = time.time()
+    # ---- occupancy statistics (instances per tile, clipping) -------------
+    def binning_stats(batch):
+        cam = CameraParams(
+            T_camera_world=batch.T_camera_world[0],
+            projection=batch.projection[0], near_plane=batch.near[0],
+            far_plane=batch.far[0], image_size=IMAGE_SIZE)
+        g2d = project_to_image(scene.gaussians(), cam, rcfg,
+                               active=scene.active)
+        grid = tiling.make_tile_grid(IMAGE_SIZE, rcfg.tile_size)
+        inst = tiling.expand_and_sort(
+            g2d.mean, jnp.where(g2d.visible, g2d.radius, 0.0),
+            g2d.visible, ndc_depth(g2d.depth, cam.near_plane, cam.far_plane),
+            rcfg, grid)
+        return g2d, grid, inst
+
+    g2d, grid, inst = jax.jit(binning_stats)(batches[0])
+    starts = np.asarray(inst.tile_starts)
+    counts = np.diff(starts)
+    occ = {
+        "visible_points": int(np.asarray(g2d.visible).sum()),
+        "instances": int(np.asarray(inst.valid).sum()),
+        "clipped_instances": int(np.asarray(inst.clipped)),
+        "tiles": int(counts.size),
+        "inst_per_tile_p50": float(np.percentile(counts, 50)),
+        "inst_per_tile_p90": float(np.percentile(counts, 90)),
+        "inst_per_tile_max": int(counts.max()),
+    }
+    print("# occupancy:", json.dumps(occ))
+
+    # ---- per-phase timings ------------------------------------------------
+    grad_fn = jax.jit(functools.partial(
+        batch_gradients, scene_config=scene_config, raster_config=rcfg,
+        ssim_levels=3))
+
+    def render_only(batch):
+        cam = CameraParams(
+            T_camera_world=batch.T_camera_world[0],
+            projection=batch.projection[0], near_plane=batch.near[0],
+            far_plane=batch.far[0], image_size=IMAGE_SIZE)
+        from splat_trainer_tpu.models import mlp_scene as ms
+        return ms.render(scene, scene_config, cam, batch.image_idx[0], rcfg).image
+
+    render_jit = jax.jit(render_only)
+    img_a = render_jit(batches[0])
+    img_b = (batches[0].images[0].astype(jnp.float32) / 255.0)
+    ssim_grad = jax.jit(jax.grad(
+        lambda x: multiscale_ssim_loss(x, img_b, 3)[0]))
+
+    phases = {}
+    phases["project_bin"] = timeit(lambda: jax.jit(binning_stats)(batches[0])[2].tile_starts)
+    phases["render_fwd"] = timeit(lambda: render_jit(batches[0]))
+    phases["ssim_fwd_bwd"] = timeit(lambda: ssim_grad(img_a))
+    phases["grads_fwd_bwd"] = timeit(lambda: grad_fn(scene, batches[0], hyper).heur)
+
+    # ---- full step throughput over rotating cameras -----------------------
+    sc, ps = scene, pstate
+    sc, ps, m = step(sc, ps, batches[0], hyper, key)   # compile
+    jax.block_until_ready(m.mse)
+    iters = 30
+    t0 = time.perf_counter()
     for i in range(iters):
-        scene, pstate, metrics = step(scene, pstate, batch, hyper, ks[0])
-    jax.block_until_ready(metrics.mse)
-    dt = (time.time() - t0) / iters
+        sc, ps, m = step(sc, ps, batches[i % n_cams], hyper, key)
+    jax.block_until_ready(m.mse)
+    dt = (time.perf_counter() - t0) / iters
+    phases["full_step"] = dt
+    print("# phases (ms):", json.dumps(
+        {k: round(v * 1e3, 3) for k, v in phases.items()}))
 
     images_per_sec = 1.0 / dt
+    clipped_step = int(m.clipped_instances)
+
+    profile = Path("PROFILE.md")
+    profile.write_text(f"""# Step-time profile (bench.py)
+
+Measured on `{jax.devices()[0].device_kind}` at {w}x{h}, scene:
+{"checkpoint" if loaded else "fallback surface cloud"},
+{int(np.asarray(scene.active).sum())} active points.
+
+| phase | ms | notes |
+|---|---|---|
+| project + bin + sort | {phases['project_bin']*1e3:.2f} | projection, tile expand, radix key sort |
+| render forward | {phases['render_fwd']*1e3:.2f} | color eval + pallas compositing |
+| ssim fwd+bwd | {phases['ssim_fwd_bwd']*1e3:.2f} | 3-level, f32 banded matmuls |
+| full grads (fwd+bwd) | {phases['grads_fwd_bwd']*1e3:.2f} | render + losses + custom VJP |
+| **full train step** | **{phases['full_step']*1e3:.2f}** | + optimizer + statistics |
+
+Occupancy: {json.dumps(occ)}
+Clipped instances during the timed steps: {clipped_step}.
+
+Throughput: **{images_per_sec:.2f} images/sec/chip** (baseline A100
+taichi-splatting ~{BASELINE_IMAGES_PER_SEC}).
+""")
+
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(images_per_sec, 3),

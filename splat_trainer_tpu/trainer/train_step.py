@@ -98,12 +98,19 @@ def batch_gradients(
     *,
     scene_config: ms.MLPSceneConfig,
     raster_config: RasterConfig,
-    image_size: Tuple[int, int],
+    image_size: Optional[Tuple[int, int]] = None,
     ssim_levels: int = 3,
 ) -> GradBundle:
-    """Differentiated phase: renders + losses + grads for a (sub)batch."""
+    """Differentiated phase: renders + losses + grads for a (sub)batch.
+
+    `image_size` defaults to the batch's own (static) image shape, so
+    mixed-sensor datasets bucket by size through jit's shape-keyed cache —
+    one compilation per distinct size, no config plumbing.
+    """
     B = batch.images.shape[0]
     cap = scene.capacity
+    if image_size is None:
+        image_size = (batch.images.shape[2], batch.images.shape[1])
 
     if batch.images.dtype == jnp.uint8:
         batch = batch._replace(
@@ -232,7 +239,7 @@ def train_step(
     *,
     scene_config: ms.MLPSceneConfig,
     raster_config: RasterConfig,
-    image_size: Tuple[int, int],
+    image_size: Optional[Tuple[int, int]] = None,
     ssim_levels: int = 3,
 ) -> Tuple[ms.SceneState, PointState, StepMetrics]:
     """One full training step. jit with donate_argnums=(0, 1)."""
