@@ -66,9 +66,11 @@ def load_checkpoint_scene():
     from splat_trainer_tpu.controller.point_state import PointState
     state = ckpt.load_checkpoint(path, scene_t,
                                  PointState.new_zeros(scene_t.capacity))
+    import jax.numpy as jnp
+    scene = jax.tree_util.tree_map(jnp.asarray, state["scene"])
     print(f"# scene: checkpoint {path} (step {step}, "
-          f"{int(np.asarray(state['scene'].active).sum())} active points)")
-    return state["scene"], config, dataset.camera_table
+          f"{int(np.asarray(scene.active).sum())} active points)")
+    return scene, config, dataset.camera_table
 
 
 def _surface_cloud(n_points, scene_config):
@@ -140,7 +142,12 @@ def main():
     scene_config = cfg.scene
     rcfg = cfg.raster_config()
     pstate = PointState.new_zeros(scene.capacity)
-    w, h = IMAGE_SIZE
+    # a loaded checkpoint is benched at ITS OWN training resolution — scaling
+    # a low-res-trained scene up blows splat footprints into meaningless
+    # instance demand (observed: 45M clipped at 2x). The fallback synthetic
+    # scene is built for the garden-recipe IMAGE_SIZE.
+    w, h = camera_table.image_size if loaded else IMAGE_SIZE
+    image_size = (w, h)
 
     # bench cameras: the dataset's own poses, intrinsics scaled to the
     # bench resolution
@@ -160,6 +167,7 @@ def main():
             T_camera_world=T, projection=proj,
             near=cams.depth_range[i, 0][None], far=cams.depth_range[i, 1][None]))
 
+    n_active = int(np.asarray(scene.active).sum())
     hyper = make_hyper(scene_config, cfg, 0.5)
     step = jax.jit(functools.partial(
         train_step, scene_config=scene_config, raster_config=rcfg,
@@ -181,10 +189,10 @@ def main():
         cam = CameraParams(
             T_camera_world=batch.T_camera_world[0],
             projection=batch.projection[0], near_plane=batch.near[0],
-            far_plane=batch.far[0], image_size=IMAGE_SIZE)
+            far_plane=batch.far[0], image_size=image_size)
         g2d = project_to_image(scene.gaussians(), cam, rcfg,
                                active=scene.active)
-        grid = tiling.make_tile_grid(IMAGE_SIZE, rcfg.tile_size)
+        grid = tiling.make_tile_grid(image_size, rcfg.tile_size)
         inst = tiling.expand_and_sort(
             g2d.mean, jnp.where(g2d.visible, g2d.radius, 0.0),
             g2d.visible, ndc_depth(g2d.depth, cam.near_plane, cam.far_plane),
@@ -192,8 +200,7 @@ def main():
         return g2d, grid, inst
 
     g2d, grid, inst = jax.jit(binning_stats)(batches[0])
-    starts = np.asarray(inst.tile_starts)
-    counts = np.diff(starts)
+    counts = np.asarray(inst.tile_counts)
     occ = {
         "visible_points": int(np.asarray(g2d.visible).sum()),
         "instances": int(np.asarray(inst.valid).sum()),
@@ -214,7 +221,7 @@ def main():
         cam = CameraParams(
             T_camera_world=batch.T_camera_world[0],
             projection=batch.projection[0], near_plane=batch.near[0],
-            far_plane=batch.far[0], image_size=IMAGE_SIZE)
+            far_plane=batch.far[0], image_size=image_size)
         from splat_trainer_tpu.models import mlp_scene as ms
         return ms.render(scene, scene_config, cam, batch.image_idx[0], rcfg).image
 
@@ -252,7 +259,7 @@ def main():
 
 Measured on `{jax.devices()[0].device_kind}` at {w}x{h}, scene:
 {"checkpoint" if loaded else "fallback surface cloud"},
-{int(np.asarray(scene.active).sum())} active points.
+{n_active} active points.
 
 | phase | ms | notes |
 |---|---|---|

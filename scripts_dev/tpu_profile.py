@@ -55,15 +55,15 @@ def main():
     fwd = jax.jit(functools.partial(
         rasterize_pallas.rasterize_forward, grid=grid, image_size=image_size,
         config=cfg))
-    tile_img, inst_vis = timeit("pallas fwd kernel", lambda s, p: fwd(s, p),
-                                inst.tile_starts, packed)
+    tile_img, inst_vis = timeit("pallas fwd kernel", lambda s, c, p: fwd(s, c, p),
+                                inst.tile_starts, inst.tile_counts, packed)
 
     ct = jnp.ones_like(tile_img[:, :4])
     bwd = jax.jit(functools.partial(
         rasterize_pallas.rasterize_backward, grid=grid, image_size=image_size,
         config=cfg))
-    timeit("pallas bwd kernel", lambda s, p, c, ti: bwd(s, p, c, ti),
-           inst.tile_starts, packed, ct, tile_img)
+    timeit("pallas bwd kernel", lambda s, cn, p, c, ti: bwd(s, cn, p, c, ti),
+           inst.tile_starts, inst.tile_counts, packed, ct, tile_img)
 
     seg = jax.jit(lambda vis, gid: jax.ops.segment_sum(vis[0], gid, num_segments=n))
     timeit("segment_sum vis", seg, inst_vis, inst.gaussian_id)

@@ -75,7 +75,7 @@ def main():
     fwd = jax.jit(functools.partial(
         rasterize_pallas.rasterize_forward, grid=grid, image_size=image_size,
         config=cfg))
-    tile_img, inst_vis = timeit("pallas fwd kernel", fwd, inst.tile_starts, packed)
+    tile_img, inst_vis = timeit("pallas fwd kernel", fwd, inst.tile_starts, inst.tile_counts, packed)
 
     timeit("tiles_to_image", jax.jit(functools.partial(
         rasterize_pallas.tiles_to_image, grid=grid, image_size=image_size)),
@@ -85,7 +85,7 @@ def main():
     bwd = jax.jit(functools.partial(
         rasterize_pallas.rasterize_backward, grid=grid, image_size=image_size,
         config=cfg))
-    timeit("pallas bwd kernel", bwd, inst.tile_starts, packed, ct, tile_img)
+    timeit("pallas bwd kernel", bwd, inst.tile_starts, inst.tile_counts, packed, ct, tile_img)
 
     timeit("segment vis", jax.jit(lambda v, gid: jax.ops.segment_sum(
         v[0], gid, num_segments=n)), inst_vis, inst.gaussian_id)

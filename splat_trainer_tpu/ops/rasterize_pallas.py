@@ -17,10 +17,12 @@ TPU-native replacement for taichi-splatting's CUDA tile rasterizer
   early-exits via `lax.while_loop` once every pixel in the tile saturates.
 - Per-instance outputs (visibility in fwd; parameter gradients + prune
   heuristic in bwd) are written chunk-by-chunk into zero-initialized
-  aliased buffers. Chunks are aligned to global K boundaries; only a
-  tile's *first* chunk can overlap the previous tile's last chunk, so only
-  that chunk does a read-merge — all others are pure writes. The grid is
-  sequential (`dimension_semantics = arbitrary`), making this race-free.
+  aliased buffers. Tile ranges are **chunk-aligned** by the binning stage
+  (ops/tiling.py pads each tile's start to a chunk boundary with inert
+  slots), so every chunk slab is exclusively owned by one tile: all writes
+  are pure double-buffered DMA and the grid executes tiles in
+  **parallel** (`dimension_semantics = parallel` — both megacore
+  TensorCores walk disjoint tile halves).
 - Images are produced **tile-major** (num_tiles, 8, P): channels
   [r, g, b, T_final, median_ndc, unused...]. Conversion to (H, W, C) is a
   cheap XLA reshape outside the kernel (and outside the custom VJP, so the
@@ -126,16 +128,19 @@ def _chunk_bounds(start, end, k: int):
 
 
 def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
-                starts_ref, inst_ref, vis_zero_ref,
+                starts_ref, counts_ref, inst_ref, vis_zero_ref,
                 out_ref, vis_ref,
-                inst_buf, vis_buf, vis_prev, in_sem, vis_sem, vis_prev_sem):
+                inst_buf, vis_buf, in_sem, vis_sem):
     del vis_zero_ref  # aliased to vis_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
     t = pl.program_id(0)
 
+    # tile ranges are chunk-aligned (ops/tiling.py): every chunk slab is
+    # exclusively owned by this tile, so per-instance output writes are pure
+    # (no cross-tile read-merge) and the grid runs tiles in parallel.
     start = starts_ref[t]
-    end = starts_ref[t + 1]
+    end = start + counts_ref[t]
     px, py, valid_px = _pixel_coords(t, grid, image_size)
     c0, nch = _chunk_bounds(start, end, k)
     u_strict = _triu_strict(k)
@@ -149,19 +154,14 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     def _():
         inst_copy(0, 0).start()
 
-    # previous tile's contribution to our (possibly shared) first chunk
-    vis_prev[:, :] = jnp.zeros((1, k), jnp.float32)
-
-    @pl.when(nch > 0)
-    def _():
-        rd = pltpu.make_async_copy(
-            vis_ref.at[:, pl.ds(c0 * k, k)], vis_prev, vis_prev_sem)
-        rd.start()
-        rd.wait()
-
     def cond(carry):
         i, T, _rgb, _med = carry
         return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
+
+    def vis_copy(i, slot):
+        off = (c0 + i) * k
+        return pltpu.make_async_copy(
+            vis_buf.at[slot], vis_ref.at[:, pl.ds(off, k)], vis_sem.at[slot])
 
     def body(carry):
         i, T, rgb, med = carry
@@ -196,14 +196,15 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             data[9:10, :], crossed, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (1, P)
 
-        # per-instance visibility: merge the previous tile's boundary values
-        # into our first chunk; later chunks are exclusively ours
-        vis_buf[:, :] = jnp.sum(w, axis=0, keepdims=True) + vis_prev[:, :]
-        vis_prev[:, :] = jnp.zeros((1, k), jnp.float32)
-        wr = pltpu.make_async_copy(
-            vis_buf, vis_ref.at[:, pl.ds(off, k)], vis_sem)
-        wr.start()
-        wr.wait()
+        # per-instance visibility: pure double-buffered write (the slab is
+        # exclusively ours). Wait for this slot's previous write (i-2) before
+        # overwriting the buffer.
+        @pl.when(i >= 2)
+        def _():
+            vis_copy(i - 2, slot).wait()
+
+        vis_buf[slot] = jnp.sum(w, axis=0, keepdims=True)
+        vis_copy(i, slot).start()
 
         return i + 1, T_last, rgb, med
 
@@ -212,10 +213,19 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     med0 = jnp.zeros((1, p), jnp.float32)
     i_end, T, rgb, med = lax.while_loop(cond, body, (jnp.int32(0), T0, rgb0, med0))
 
-    # drain the in-flight prefetch if the loop exited early
+    # drain the in-flight prefetch if the loop exited early, and the last
+    # two outstanding visibility writes
     @pl.when(i_end < nch)
     def _():
         inst_copy(i_end, lax.rem(i_end, 2)).wait()
+
+    @pl.when(i_end >= 2)
+    def _():
+        vis_copy(i_end - 2, lax.rem(i_end - 2, 2)).wait()
+
+    @pl.when(i_end >= 1)
+    def _():
+        vis_copy(i_end - 1, lax.rem(i_end - 1, 2)).wait()
 
     out_ref[0, 0:3, :] = rgb
     out_ref[0, 3:4, :] = T.reshape(1, p)
@@ -223,12 +233,13 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     out_ref[0, 5:8, :] = jnp.zeros((3, p), jnp.float32)
 
 
-def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
-                      config: RasterConfig, interpret: bool = False):
+def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
+                      image_size, config: RasterConfig, interpret: bool = False):
     """Run the forward kernel.
 
     Args:
-        tile_starts: (num_tiles + 1,) int32 instance ranges.
+        tile_starts: (num_tiles + 1,) int32 chunk-aligned range starts.
+        tile_counts: (num_tiles,) int32 real instances per tile.
         inst_data: (16, M) f32 packed sorted instance field matrix.
     Returns (tile_img (num_tiles, 8, P), inst_vis (1, M)).
     """
@@ -238,7 +249,7 @@ def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
 
     kernel = functools.partial(_fwd_kernel, grid, image_size, config)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(grid.num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
@@ -251,11 +262,9 @@ def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, INST_ROWS, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.VMEM((2, 1, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -267,12 +276,12 @@ def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
             jax.ShapeDtypeStruct((grid.num_tiles, IMG_ROWS, p), jnp.float32),
             jax.ShapeDtypeStruct((1, m), jnp.float32),
         ],
-        input_output_aliases={2: 1},  # vis zeros (arg after scalar prefetch) -> vis out
+        input_output_aliases={3: 1},  # vis zeros (arg after scalar prefetch) -> vis out
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(tile_starts, inst_data, vis_zero)
+    )(tile_starts, tile_counts, inst_data, vis_zero)
     return tile_img, inst_vis
 
 
@@ -282,16 +291,17 @@ def rasterize_forward(tile_starts, inst_data, grid: TileGrid, image_size,
 
 
 def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
-                starts_ref, inst_ref, ct_ref, img_ref, grad_zero_ref,
+                starts_ref, counts_ref, inst_ref, ct_ref, img_ref, grad_zero_ref,
                 grad_ref,
-                inst_buf, grad_buf, grad_prev, in_sem, grad_sem, grad_prev_sem):
+                inst_buf, grad_buf, in_sem, grad_sem):
     del grad_zero_ref  # aliased to grad_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
     t = pl.program_id(0)
 
+    # chunk-aligned ranges: slabs exclusively owned, pure writes, parallel grid
     start = starts_ref[t]
-    end = starts_ref[t + 1]
+    end = start + counts_ref[t]
     px, py, valid_px = _pixel_coords(t, grid, image_size)
     c0, nch = _chunk_bounds(start, end, k)
     u_strict = _triu_strict(k)
@@ -301,18 +311,14 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(off, k)], inst_buf.at[slot], in_sem.at[slot])
 
+    def grad_copy(i, slot):
+        off = (c0 + i) * k
+        return pltpu.make_async_copy(
+            grad_buf.at[slot], grad_ref.at[:, pl.ds(off, k)], grad_sem.at[slot])
+
     @pl.when(nch > 0)
     def _():
         inst_copy(0, 0).start()
-
-    grad_prev[:, :] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
-
-    @pl.when(nch > 0)
-    def _():
-        rd = pltpu.make_async_copy(
-            grad_ref.at[:, pl.ds(c0 * k, k)], grad_prev, grad_prev_sem)
-        rd.start()
-        rd.wait()
 
     g = ct_ref[0, 0:3, :]                         # (3, P) image cotangent
     ct_T = ct_ref[0, 3:4, :].reshape(p, 1)        # final-transmittance cotangent
@@ -375,24 +381,22 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                                preferred_element_type=jnp.float32)  # (3, K)
         prune = jnp.sum(w * gmag, axis=0, keepdims=True)
 
-        # pack the gradient slab; merge the previous tile's boundary values
-        # into our first chunk, then pure writes
-        grad_buf[0:1, :] = dmx
-        grad_buf[1:2, :] = dmy
-        grad_buf[2:3, :] = dca
-        grad_buf[3:4, :] = dcb
-        grad_buf[4:5, :] = dcc
-        grad_buf[5:6, :] = dop
-        grad_buf[6:9, :] = dcol
-        grad_buf[9:10, :] = prune
-        grad_buf[10:16, :] = jnp.zeros((6, k), jnp.float32)
-        grad_buf[:, :] = grad_buf[:, :] + grad_prev[:, :]
-        grad_prev[:, :] = jnp.zeros((GRAD_ROWS, k), jnp.float32)
+        # pack the gradient slab; the slab is exclusively ours, so this is a
+        # pure double-buffered write (wait for this slot's i-2 write first)
+        @pl.when(i >= 2)
+        def _():
+            grad_copy(i - 2, slot).wait()
 
-        wr = pltpu.make_async_copy(
-            grad_buf, grad_ref.at[:, pl.ds(off, k)], grad_sem)
-        wr.start()
-        wr.wait()
+        grad_buf[slot, 0:1, :] = dmx
+        grad_buf[slot, 1:2, :] = dmy
+        grad_buf[slot, 2:3, :] = dca
+        grad_buf[slot, 3:4, :] = dcb
+        grad_buf[slot, 4:5, :] = dcc
+        grad_buf[slot, 5:6, :] = dop
+        grad_buf[slot, 6:9, :] = dcol
+        grad_buf[slot, 9:10, :] = prune
+        grad_buf[slot, 10:16, :] = jnp.zeros((6, k), jnp.float32)
+        grad_copy(i, slot).start()
 
         return i + 1, T_last, prefix[:, k - 1:k]
 
@@ -404,8 +408,16 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     def _():
         inst_copy(i_end, lax.rem(i_end, 2)).wait()
 
+    @pl.when(i_end >= 2)
+    def _():
+        grad_copy(i_end - 2, lax.rem(i_end - 2, 2)).wait()
 
-def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
+    @pl.when(i_end >= 1)
+    def _():
+        grad_copy(i_end - 1, lax.rem(i_end - 1, 2)).wait()
+
+
+def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
                        grid: TileGrid, image_size, config: RasterConfig,
                        interpret: bool = False):
     """Run the backward kernel. Returns per-instance gradients (16, M)."""
@@ -415,7 +427,7 @@ def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
 
     kernel = functools.partial(_bwd_kernel, grid, image_size, config)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(grid.num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
@@ -430,11 +442,9 @@ def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, INST_ROWS, k), jnp.float32),
-            pltpu.VMEM((GRAD_ROWS, k), jnp.float32),
-            pltpu.VMEM((GRAD_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, GRAD_ROWS, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -443,12 +453,12 @@ def rasterize_backward(tile_starts, inst_data, ct_tile, tile_img,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m), jnp.float32)],
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(tile_starts, inst_data, ct_tile, tile_img, grad_zero)
+    )(tile_starts, tile_counts, inst_data, ct_tile, tile_img, grad_zero)
     return inst_grad
 
 

@@ -74,7 +74,8 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         ], axis=1)[inst.gaussian_id].T  # (16, M) field matrix
 
         tile_img, inst_vis = rasterize_pallas.rasterize_forward(
-            inst.tile_starts, packed, grid, image_size, config, interpret=interpret)
+            inst.tile_starts, inst.tile_counts, packed, grid, image_size,
+            config, interpret=interpret)
 
         vis = jax.ops.segment_sum(
             jnp.where(inst.valid, inst_vis[0], 0.0), inst.gaussian_id,
@@ -99,12 +100,12 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         tile_img, vis, inst, packed = forward_parts(
             mean, conic, opacity, color, depth_ndc, radius)
         out = assemble(tile_img, vis, inst.clipped)
-        res = (packed, inst.gaussian_id, inst.valid, inst.tile_starts, tile_img,
-               mean.shape[0])
+        res = (packed, inst.gaussian_id, inst.valid, inst.tile_starts,
+               inst.tile_counts, tile_img, mean.shape[0])
         return out, res
 
     def f_bwd(res, ct: RasterOut):
-        packed, gid, valid, tile_starts, tile_img, n = res
+        packed, gid, valid, tile_starts, tile_counts, tile_img, n = res
 
         # map image-space cotangents back to tile-major rows [rgb, dT]
         ct_rgb = rasterize_pallas.image_to_tiles(ct.image, grid)          # (T,3,P)
@@ -112,8 +113,8 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         ct_tile = jnp.concatenate([ct_rgb, ct_T], axis=1)
 
         inst_grad = rasterize_pallas.rasterize_backward(
-            tile_starts, packed, ct_tile, tile_img, grid, image_size, config,
-            interpret=interpret).T  # (M, 16)
+            tile_starts, tile_counts, packed, ct_tile, tile_img, grid,
+            image_size, config, interpret=interpret).T  # (M, 16)
         inst_grad = jnp.where(valid[:, None], inst_grad, 0.0)
         seg = jax.ops.segment_sum(inst_grad, gid, num_segments=n)
 

@@ -52,12 +52,20 @@ def make_tile_grid(image_size: Tuple[int, int], tile_size: int) -> TileGrid:
 
 
 class Instances(NamedTuple):
-    """Sorted (gaussian, tile) instance pairs, capacity-shaped (M,)."""
+    """Sorted (gaussian, tile) instance pairs, capacity-shaped (M,).
+
+    The layout is **chunk-aligned**: every tile's range begins at a multiple
+    of `RasterConfig.chunk_size`, with inert padding slots (valid=False)
+    between tiles. Rasterizer chunks are therefore exclusively owned by one
+    tile — per-instance output slabs never overlap across tiles, so the
+    Pallas grid can execute tiles in parallel (megacore) with pure DMA
+    writes and no boundary read-merge."""
 
     gaussian_id: jax.Array   # (M,) int32 — gaussian index per sorted instance
     tile_id: jax.Array       # (M,) int32 — tile index per sorted instance
     valid: jax.Array         # (M,) bool
-    tile_starts: jax.Array   # (num_tiles + 1,) int32 — instance ranges per tile
+    tile_starts: jax.Array   # (num_tiles + 1,) int32 — chunk-aligned range starts
+    tile_counts: jax.Array   # (num_tiles,) int32 — real instances per tile
     total: jax.Array         # scalar int32 — number of valid instances (clipped)
     clipped: jax.Array       # scalar int32 — overflow count (0 if none)
 
@@ -150,11 +158,39 @@ def expand_and_sort(
     sorted_tile = (sorted_key >> db).astype(jnp.int32)
     sorted_valid = sorted_tile < grid.num_tiles
 
+    # --- chunk-align the layout (see Instances docstring) ------------------
+    # Re-place each tile's run at a chunk_size-aligned start; slots that the
+    # padding pushes past capacity M are dropped and counted. M must itself
+    # be a chunk multiple so output slabs stay in-bounds.
+    k = config.chunk_size
+    if M % k != 0:
+        raise ValueError(f"max_instances ({M}) must be a multiple of "
+                         f"chunk_size ({k})")
+    counts = tile_starts[1:] - tile_starts[:-1]                  # (T,)
+    aligned_starts = jnp.minimum(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         jnp.cumsum(-(-counts // k) * k, dtype=jnp.int32)]),
+        M)                                                       # (T+1,) K-aligned
+    aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, M
+                                 ) - aligned_starts[:-1]         # (T,)
+
+    t_of_i = jnp.minimum(sorted_tile, grid.num_tiles - 1)
+    rank = inst - tile_starts[t_of_i]
+    new_pos = aligned_starts[t_of_i] + rank
+    keep = sorted_valid & (rank < aligned_counts[t_of_i])
+    pos = jnp.where(keep, new_pos, M)                            # M = dropped
+    gaussian_id = jnp.zeros((M,), jnp.int32).at[pos].set(sorted_gid, mode="drop")
+    tile_id = jnp.full((M,), grid.num_tiles, jnp.int32).at[pos].set(
+        sorted_tile, mode="drop")
+    valid_p = jnp.zeros((M,), bool).at[pos].set(True, mode="drop")
+    kept = jnp.sum(keep).astype(jnp.int32)
+
     return Instances(
-        gaussian_id=sorted_gid,
-        tile_id=sorted_tile,
-        valid=sorted_valid,
-        tile_starts=tile_starts,
-        total=total,
-        clipped=clipped,
+        gaussian_id=gaussian_id,
+        tile_id=tile_id,
+        valid=valid_p,
+        tile_starts=aligned_starts,
+        tile_counts=aligned_counts,
+        total=kept,
+        clipped=clipped + (total - kept),
     )

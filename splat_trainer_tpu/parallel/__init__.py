@@ -1,4 +1,8 @@
 from .data_parallel import make_camera_mesh, make_dp_train_step
+from .points_parallel import (
+    make_points_mesh, make_pp_train_step, scene_shardings,
+    shard_densify_target,
+)
 
 
 def maybe_init_distributed() -> bool:
@@ -29,4 +33,6 @@ def maybe_init_distributed() -> bool:
         return jax.process_count() > 1
 
 
-__all__ = ["make_camera_mesh", "make_dp_train_step", "maybe_init_distributed"]
+__all__ = ["make_camera_mesh", "make_dp_train_step", "make_points_mesh",
+           "make_pp_train_step", "scene_shardings", "shard_densify_target",
+           "maybe_init_distributed"]

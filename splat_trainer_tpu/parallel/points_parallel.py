@@ -1,0 +1,285 @@
+"""Multi-chip point sharding for city-scale scenes (SURVEY.md §2.4 item (b),
+§5.7; BASELINE.md config 5).
+
+Camera data-parallelism (data_parallel.py) replicates the whole scene on
+every chip — at city scale (tens of millions of splats) the parameter +
+optimizer-moment pytree no longer fits one chip's HBM. This module shards
+the *points* instead, over a `points` mesh axis, and turns one training
+step into a distributed transpose:
+
+    phase 1 (owner compute, sharded N/D):  each chip evaluates MLP colors
+        and projects its point shard against ALL B = D cameras of the batch
+        -> (B, C/D) screen-space gaussians.
+    phase 2 (all_to_all over ICI):         the (camera, shard) layout is
+        transposed so chip b holds EVERY shard projected to camera b — the
+        full point set for one camera, ready to composite.
+    phase 3 (per-chip rasterize):          chip b composites camera b with
+        the unchanged Pallas/dense kernels and computes its image loss.
+    phase 4 (reverse, by autodiff):        `jax.grad` differentiates through
+        the collective — the all_to_all transposes back, routing every
+        camera's gradient contribution to the owning shard; replicated
+        leaves (color MLP, GLO, poses) take one psum.
+
+Compute per chip is the same as camera-DP (one camera's rasterization, N
+projections spread as D x N/D), but parameters, optimizer moments, and
+per-point statistics are all N/D per chip — memory scales out linearly
+with the mesh. Exchanged payload is 16 f32 per point per step, riding ICI.
+
+Densification under the points axis is *per-shard*: each shard prunes and
+splits inside its own capacity slab against a 1/D share of the global
+target (deterministic, no cross-chip point migration; see
+`shard_densify_target`). The reference has no distributed anything
+(SURVEY.md §2.4) — this design is TPU-native, not a port.
+
+Composable with camera-DP on a 2D mesh ("cameras", "points"): shard_grads
+here is already written per-shard, so wrapping both axes is a spec change
+(documented, not yet wired into the Trainer).
+"""
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from splat_trainer_tpu.controller.point_state import PointState
+from splat_trainer_tpu.core.types import CameraParams, Gaussians2D, RasterConfig
+from splat_trainer_tpu.models import color_model as cm
+from splat_trainer_tpu.models import mlp_scene as ms
+from splat_trainer_tpu.ops import renderer
+from splat_trainer_tpu.ops.projection import project_to_image
+from splat_trainer_tpu.trainer.train_step import (
+    GradBundle, TrainBatch, apply_updates, compute_losses,
+)
+from splat_trainer_tpu.utils.misc import saturate
+
+POINTS_AXIS = "points"
+
+
+def make_points_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (POINTS_AXIS,))
+
+
+def scene_shardings(mesh: Mesh, scene: ms.SceneState):
+    """NamedSharding pytree for a SceneState: capacity-shaped leaves split
+    over the points axis, everything else (color MLP, GLO, poses,
+    corrector) replicated."""
+    cap = scene.capacity
+    pt = NamedSharding(mesh, P(POINTS_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def pick(x):
+        return pt if (hasattr(x, "ndim") and x.ndim >= 1
+                      and x.shape[0] == cap) else rep
+
+    return jax.tree_util.tree_map(pick, scene)
+
+
+def _spec_like(scene: ms.SceneState):
+    cap = scene.capacity
+
+    def pick(x):
+        return (P(POINTS_AXIS) if (hasattr(x, "ndim") and x.ndim >= 1
+                                   and x.shape[0] == cap) else P())
+
+    return jax.tree_util.tree_map(pick, scene)
+
+
+def shard_densify_target(global_target: int, mesh_size: int) -> int:
+    """Per-shard point budget for densification under point sharding."""
+    return -(-global_target // mesh_size)
+
+
+def make_pp_train_step(
+    mesh: Mesh,
+    scene_template: ms.SceneState,
+    *,
+    scene_config: ms.MLPSceneConfig,
+    raster_config: RasterConfig,
+    image_size: Tuple[int, int],
+    ssim_levels: int = 3,
+):
+    """Build a jitted point-sharded train step.
+
+    Requires batch size B == mesh size (one camera composited per chip) and
+    scene capacity divisible by the mesh size. Returns
+    (step_fn, batch_sharding, scene_sharding, pstate_sharding).
+    """
+    D = mesh.size
+    cap = scene_template.capacity
+    if cap % D != 0:
+        raise ValueError(f"capacity {cap} must divide the mesh size {D}")
+
+    def local_grads(scene_l: ms.SceneState, batch: TrainBatch, hyper: Dict):
+        """Runs per-shard inside shard_map; scene_l is the local C/D slab."""
+        B = batch.images.shape[0]
+        assert B == D, f"points-parallel needs batch == mesh size ({B} != {D})"
+        cap_l = scene_l.capacity
+        my = jax.lax.axis_index(POINTS_AXIS)
+
+        if batch.images.dtype == jnp.uint8:
+            batch = batch._replace(images=batch.images.astype(jnp.float32) / 255.0)
+
+        def loss_fn(params_l: ms.SceneGrads, heur_sink_l):
+            scene_p = ms.with_params(scene_l, params_l)
+
+            # phase 1: colors + projection of MY shard for every camera
+            per_cam = []
+            for b in range(B):
+                camera = CameraParams(
+                    T_camera_world=batch.T_camera_world[b],
+                    projection=batch.projection[b],
+                    near_plane=batch.near[b], far_plane=batch.far[b],
+                    image_size=image_size)
+                camera = ms.refined_camera(scene_p, camera, batch.image_idx[b])
+                diffuse, specular = scene_config.eval_colors(
+                    scene_p, camera, batch.image_idx[b])
+                colors = cm.total_color(diffuse, specular)[:, :3]
+                g2d = project_to_image(scene_p.gaussians(), camera,
+                                       raster_config, active=scene_p.active)
+                per_cam.append(dict(g2d=g2d, colors=colors,
+                                    spec=jnp.abs(specular).sum(-1)))
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, axis=0), *per_cam)  # (B, cap_l, ...)
+
+            # camera-independent reg inputs: full via all_gather (AD: psum_scatter)
+            opacity_l = jax.nn.sigmoid(scene_p.points["alpha_logit"][:, 0])
+            scale_l = jnp.exp(scene_p.points["log_scaling"])
+            opacity_f = jax.lax.all_gather(opacity_l, POINTS_AXIS, tiled=True)
+            scale_f = jax.lax.all_gather(scale_l, POINTS_AXIS, tiled=True)
+
+            # phase 2: distributed transpose — full point set for MY camera
+            def exchange(x):
+                y = jax.lax.all_to_all(x, POINTS_AXIS, split_axis=0,
+                                       concat_axis=0)  # (D, cap_l, ...)
+                # rows ordered by source shard -> flatten to the global
+                # (shard-major) point order, matching axis-0 sharding
+                return y.reshape((D * cap_l,) + y.shape[2:])
+
+            full = jax.tree_util.tree_map(exchange, stacked)
+            heur_full = exchange(heur_sink_l)
+
+            g2d_f: Gaussians2D = full["g2d"]
+            camera_my = CameraParams(
+                T_camera_world=jnp.take(batch.T_camera_world, my, axis=0),
+                projection=jnp.take(batch.projection, my, axis=0),
+                near_plane=jnp.take(batch.near, my, axis=0),
+                far_plane=jnp.take(batch.far, my, axis=0),
+                image_size=image_size)
+
+            # phase 3: composite MY camera over the full set
+            rendering = renderer.render_projected(
+                g2d_f, full["colors"], camera_my, raster_config,
+                heur_sink=heur_full)
+            image = scene_config.post_activation(rendering.image)
+            ref = jnp.take(batch.images, my, axis=0)
+            loss_img, metrics = compute_losses(image, ref, hyper, ssim_levels)
+
+            # reg (visibility-weighted, reference mlp_scene.py:247-288) over
+            # the full exchanged set for MY camera
+            vis = rendering.points.visibility
+            visible = vis > 0.0
+            n_vis = jnp.maximum(visible.sum(), 1).astype(jnp.float32)
+            w = jnp.where(visible, vis, 0.0)
+            depths = jnp.maximum(jnp.abs(g2d_f.depth), 1e-6)
+            norm_scale = (scale_f ** 2).sum(-1) / depths ** 2
+            aspect = scale_f.max(-1) / jnp.maximum(scale_f.min(-1), 1e-12)
+            regs = {
+                "scale": (norm_scale * w).sum() / n_vis,
+                "opacity": (saturate(opacity_f, gain=4.0, k=2.0)
+                            * norm_scale * w).sum() / n_vis,
+                "aspect": (aspect * w).sum() / n_vis,
+                "specular": (full["spec"] * w).sum() / n_vis,
+            }
+            reg_w = {k: regs[k] * hyper["reg"][k]
+                     for k in regs if k in hyper["reg"]}
+            total = loss_img + sum(reg_w.values())
+
+            metrics["reg"] = reg_w
+            metrics["num_visible"] = rendering.points.num_visible
+            metrics["clipped"] = (rendering.clipped_instances
+                                  if rendering.clipped_instances is not None
+                                  else jnp.int32(0))
+            aux = dict(
+                vis_full=jax.lax.stop_gradient(vis),
+                in_view_full=rendering.points.in_view,
+                screen_scale_full=jax.lax.stop_gradient(
+                    g2d_f.screen_scale), metrics=metrics)
+            return total, aux
+
+        params = ms.trainable_params(scene_l)
+        heur_sink = jnp.zeros((B, cap_l, 2), jnp.float32)
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (grads, heur_bc), aux = grad_fn(params, heur_sink)
+        heur = heur_bc.sum(axis=0)  # (cap_l, 2): all cameras' contributions
+
+        # reverse transpose of the non-differentiated per-point statistics:
+        # (D, cap_l) rows by shard -> (B, cap_l) rows by camera, MY shard
+        def unexchange(x_full):
+            x = x_full.reshape((D, cap_l) + x_full.shape[1:])
+            return jax.lax.all_to_all(x, POINTS_AXIS, split_axis=0,
+                                      concat_axis=0)
+
+        vis_bc = unexchange(aux["vis_full"])                   # (B, cap_l)
+        in_view_bc = unexchange(aux["in_view_full"])
+        scale_bc = unexchange(aux["screen_scale_full"])        # (B, cap_l, 2)
+
+        vis_acc = vis_bc.sum(axis=0)
+        in_view_any = in_view_bc.any(axis=0)
+        scale_max = jnp.max(
+            jnp.where(in_view_bc[..., None], scale_bc, 0.0), axis=0)
+
+        glo_rows = jnp.zeros((scene_l.glo_table.shape[0],), bool
+                             ).at[batch.image_idx].set(True)
+
+        # combine: sharded point grads are already complete (reverse
+        # all_to_all accumulated every camera); replicated leaves need a psum
+        def psum(x):
+            return jax.lax.psum(x, POINTS_AXIS)
+
+        grads = grads.replace(
+            color_params=jax.tree_util.tree_map(psum, grads.color_params),
+            glo_table=psum(grads.glo_table),
+            pose_dq=psum(grads.pose_dq), pose_dt=psum(grads.pose_dt),
+            corrector_grids=(None if grads.corrector_grids is None
+                             else psum(grads.corrector_grids)))
+        metrics = jax.tree_util.tree_map(
+            lambda m: psum(m) / D, aux["metrics"])
+
+        return GradBundle(grads=grads, heur=heur, vis_acc=vis_acc,
+                          in_view_any=in_view_any, scale_max=scale_max,
+                          glo_rows=glo_rows, metrics=metrics)
+
+    def shard_step(scene_l, pstate_l, batch, hyper):
+        bundle = local_grads(scene_l, batch, hyper)
+        return apply_updates(scene_l, pstate_l, bundle, hyper, scene_config)
+
+    scene_spec = _spec_like(scene_template)
+    pstate_spec = jax.tree_util.tree_map(
+        lambda _: P(POINTS_AXIS), PointState.new_zeros(cap))
+    batch_spec = jax.tree_util.tree_map(lambda _: P(), TrainBatch(
+        images=0, image_idx=0, T_camera_world=0, projection=0, near=0, far=0))
+
+    sharded = shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(scene_spec, pstate_spec, batch_spec, P()),
+        out_specs=(scene_spec, pstate_spec, P()),
+        check_rep=False)
+
+    def pp_train_step(scene, pstate, batch, hyper, key):
+        del key
+        return sharded(scene, pstate, batch, hyper)
+
+    batch_sharding = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), batch_spec)
+    scene_sharding = scene_shardings(mesh, scene_template)
+    pstate_sharding = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(POINTS_AXIS)),
+        PointState.new_zeros(cap))
+
+    return (jax.jit(pp_train_step, donate_argnums=(0, 1)),
+            batch_sharding, scene_sharding, pstate_sharding)

@@ -91,6 +91,9 @@ def cfg_from_args(argv=None):
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all local devices (batch_size "
                         "must be a multiple of the device count)")
+    p.add_argument("--pp", action="store_true",
+                   help="point-sharded training for city-scale scenes "
+                        "(batch_size must equal the device count)")
     p.add_argument("--overlap-batching", action="store_true",
                    help="use TargetOverlap view selection")
     p.add_argument("--save-checkpoints", action="store_true")
@@ -132,6 +135,8 @@ def cfg_from_args(argv=None):
         ov("trainer.antialias", "true")
     if args.dp:
         ov("trainer.dp", "true")
+    if args.pp:
+        ov("trainer.pp", "true")
     if args.save_checkpoints:
         ov("trainer.save_checkpoints", "true")
     if args.tensorboard:

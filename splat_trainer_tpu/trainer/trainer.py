@@ -117,6 +117,33 @@ class Trainer:
             # step is the only cross-chip traffic)
             self.scene = jax.device_put(self.scene, self._rep_sharding)
             self.pstate = jax.device_put(self.pstate, self._rep_sharding)
+        elif config.pp:
+            from splat_trainer_tpu.parallel import points_parallel as ppar
+            devices = jax.devices()
+            if config.pp_devices is not None:
+                devices = devices[:config.pp_devices]
+            self.mesh = ppar.make_points_mesh(devices)
+            bs = getattr(config.view_selection, "batch_size", 1)
+            if bs != self.mesh.size:
+                raise ValueError(
+                    f"pp needs batch_size ({bs}) == mesh size "
+                    f"({self.mesh.size}) — one camera composited per chip")
+            if scene.capacity % self.mesh.size != 0:
+                raise ValueError(
+                    f"pp needs capacity ({scene.capacity}) % mesh size "
+                    f"({self.mesh.size}) == 0")
+            (self._train_step, self._batch_sharding, self._scene_sharding,
+             self._pstate_sharding) = ppar.make_pp_train_step(
+                self.mesh, self.scene,
+                scene_config=config.scene,
+                raster_config=config.raster_config(),
+                image_size=self.camera_table.image_size,
+                ssim_levels=config.ssim_levels)
+            # shard the capacity-shaped state N/D per chip; densify and eval
+            # run under plain jit (GSPMD inserts the gathers they need) and
+            # state is re-pinned to the point sharding afterwards
+            self.scene = jax.device_put(self.scene, self._scene_sharding)
+            self.pstate = jax.device_put(self.pstate, self._pstate_sharding)
         else:
             self._train_step = jax.jit(
                 functools.partial(
@@ -503,6 +530,11 @@ class Trainer:
                 self.scene = self._densify.noise(
                     self.scene, self.pstate, self._next_key(),
                     noise_level=jnp.float32(ctl.noise_level(self.progress)))
+        if self.config.pp:
+            # densify ran under plain jit (GSPMD); re-pin the state to the
+            # point sharding so the next pp step takes it shard-resident
+            self.scene = jax.device_put(self.scene, self._scene_sharding)
+            self.pstate = jax.device_put(self.pstate, self._pstate_sharding)
 
     def checkpoint(self, save: bool = True):
         bad = check_finite_tree(

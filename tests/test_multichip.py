@@ -82,6 +82,54 @@ def test_dp_matches_single_device(setup):
         float(metrics_dp.psnr), float(metrics_sd.psnr), atol=1e-2)
 
 
+def test_points_parallel_matches_single_device(setup):
+    """Point-sharded step (all_to_all transpose) == single-device step:
+    params, per-point statistics, and densify heuristics all agree."""
+    from splat_trainer_tpu.parallel import make_points_mesh, make_pp_train_step
+
+    dataset, config, scene = setup
+    rcfg = RasterConfig(backend="dense", max_instances=1 << 13, chunk_size=16)
+    mesh = make_points_mesh()
+    pp_step, batch_sh, scene_sh, pstate_sh = make_pp_train_step(
+        mesh, scene, scene_config=config, raster_config=rcfg,
+        image_size=IMAGE_SIZE, ssim_levels=2)
+
+    batch = make_batch(dataset, np.arange(8))
+    hyper = make_hyper(config, DummyTrainCfg, 0.0)
+
+    scene_sd, pstate_sd, metrics_sd = train_step(
+        jax.tree_util.tree_map(jnp.copy, scene),
+        PointState.new_zeros(scene.capacity), batch, hyper,
+        jax.random.PRNGKey(0), scene_config=config, raster_config=rcfg,
+        image_size=IMAGE_SIZE, ssim_levels=2)
+
+    scene_pp, pstate_pp, metrics_pp = pp_step(
+        jax.device_put(jax.tree_util.tree_map(jnp.copy, scene), scene_sh),
+        jax.device_put(PointState.new_zeros(scene.capacity), pstate_sh),
+        jax.device_put(batch, batch_sh), hyper, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        np.asarray(scene_pp.points["position"]),
+        np.asarray(scene_sd.points["position"]), atol=1e-5)
+    # color-MLP grads arrive via psum (pp) vs a sequential per-camera sum
+    # (single device); the differing reduction order is amplified by Adam's
+    # rsqrt on the very first step — tolerance reflects fp noise, not routing
+    for a, b in zip(jax.tree_util.tree_leaves(scene_pp.color_params),
+                    jax.tree_util.tree_leaves(scene_sd.color_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(pstate_pp.visibility), np.asarray(pstate_sd.visibility),
+        atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(pstate_pp.split_score), np.asarray(pstate_sd.split_score),
+        atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        float(metrics_pp.psnr), float(metrics_sd.psnr), atol=1e-2)
+    # memory claim: every capacity-shaped leaf is physically 1/8 per device
+    shard = scene_pp.points["position"].addressable_shards[0]
+    assert shard.data.shape[0] == scene.capacity // 8
+
+
 def test_dp_multiple_steps_improve(setup):
     dataset, config, scene = setup
     rcfg = RasterConfig(backend="dense", max_instances=1 << 13, chunk_size=16)
@@ -161,6 +209,49 @@ def test_trainer_dp_path(tmp_path, monkeypatch, batch_size):
     _assert_replicated(trainer.scene.points, "scene.points")
     _assert_replicated(trainer.scene.active, "scene.active")
     _assert_replicated(trainer.pstate, "pstate")
+    trainer.close()
+
+
+def test_trainer_pp_path(tmp_path, monkeypatch):
+    """The Trainer's point-sharded route: capacity-sharded state end-to-end
+    through train/densify/eval/checkpoint."""
+    import os
+    from splat_trainer_tpu.config import Constant
+    from splat_trainer_tpu.controller import TargetConfig
+    from splat_trainer_tpu.logger import NullLogger
+    from splat_trainer_tpu.trainer.config import TrainConfig
+    from splat_trainer_tpu.trainer.init import CloudInitConfig
+    from splat_trainer_tpu.trainer.trainer import Trainer
+    from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
+
+    monkeypatch.chdir(tmp_path)
+    os.environ["TQDM_DISABLE"] = "1"
+    dataset = SyntheticDataset(num_images=16, image_size=IMAGE_SIZE,
+                               num_points=150, split_every=8)
+    config = TrainConfig(
+        pp=True,
+        scene=ms.MLPSceneConfig(point_features=8, image_features=8),
+        controller=TargetConfig(densify_prune_interval=Constant(8),
+                                min_views=1),
+        view_selection=RandomSamplerConfig(batch_size=8),
+        cloud_init=CloudInitConfig(initial_points=200, limit_points=100,
+                                   num_neighbors=3, min_view_overlap=2,
+                                   clamp_near=0.1),
+        total_steps=24, eval_steps=12, log_interval=8,
+        target_points=400, raster_backend="dense",
+        max_instances=1 << 13, chunk_size=16,
+        save_output=False, log_images=False, max_ssim_regression=1.0)
+
+    trainer = Trainer.initialize(config, dataset, NullLogger())
+    assert trainer.mesh is not None and trainer.mesh.size == 8
+
+    metrics = trainer.train()
+    assert np.isfinite(metrics["train_psnr"])
+    assert "densify" in trainer.logger
+
+    # the scene really is point-sharded: 1/8 of capacity per device
+    pos = trainer.scene.points["position"]
+    assert pos.addressable_shards[0].data.shape[0] == trainer.scene.capacity // 8
     trainer.close()
 
 

@@ -39,11 +39,18 @@ def test_expand_and_sort_basic():
     # tiles grouped ascending
     assert (np.diff(tiles) >= 0).all()
 
-    # tile_starts consistency: each tile's range contains only that tile
+    # tile ranges: chunk-aligned starts, each range contains only that tile
     starts = np.asarray(inst.tile_starts)
+    counts = np.asarray(inst.tile_counts)
+    tile_full = np.asarray(inst.tile_id)
+    valid_full = np.asarray(inst.valid)
     for t in range(grid.num_tiles):
-        seg = tiles[(np.arange(len(tiles)) >= starts[t]) & (np.arange(len(tiles)) < starts[t + 1])]
+        assert starts[t] % config.chunk_size == 0
+        seg = tile_full[starts[t]:starts[t] + counts[t]]
         assert (seg == t).all()
+        assert valid_full[starts[t]:starts[t] + counts[t]].all()
+    assert counts.sum() == int(inst.total)
+    assert valid_full.sum() == int(inst.total)
 
 
 def test_depth_ordering_within_tile():
@@ -76,6 +83,24 @@ def test_overflow_counted():
     inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
     assert int(inst.total) == 32
     assert int(inst.clipped) == 18
+
+
+def test_alignment_overflow_counted():
+    # 3 tiles x 3 instances each; chunk alignment pads each tile's range to 8,
+    # so tile 2's range starts at capacity (16) and its instances are dropped
+    # and counted — never silently.
+    mean = jnp.array([[8.0, 8.0]] * 3 + [[24.0, 8.0]] * 3 + [[40.0, 8.0]] * 3)
+    radius = jnp.full((9,), 2.0)
+    visible = jnp.ones((9,), bool)
+    depth_ndc = jnp.linspace(0.1, 0.9, 9)
+
+    config = RasterConfig(max_instances=16, chunk_size=8)
+    grid = tiling.make_tile_grid((48, 16), 16)
+    inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
+    assert int(inst.total) == 6
+    assert int(inst.clipped) == 3
+    assert np.asarray(inst.tile_starts)[:3].tolist() == [0, 8, 16]
+    assert np.asarray(inst.tile_counts).tolist() == [3, 3, 0]
 
 
 def test_invisible_produce_no_instances():
