@@ -199,7 +199,10 @@ def main():
             rcfg, grid)
         return g2d, grid, inst
 
-    g2d, grid, inst = jax.jit(binning_stats)(batches[0])
+    binning_jit = jax.jit(binning_stats)   # ONE wrapper: re-wrapping per call
+    # would re-trace each invocation and contaminate the phase timing with
+    # host tracing time
+    g2d, grid, inst = binning_jit(batches[0])
     counts = np.asarray(inst.tile_counts)
     occ = {
         "visible_points": int(np.asarray(g2d.visible).sum()),
@@ -232,7 +235,8 @@ def main():
         lambda x: multiscale_ssim_loss(x, img_b, 3)[0]))
 
     phases = {}
-    phases["project_bin"] = timeit(lambda: jax.jit(binning_stats)(batches[0])[2].tile_starts)
+    phases["project_bin"] = timeit(
+        lambda: binning_jit(batches[0])[2].tile_starts)
     phases["render_fwd"] = timeit(lambda: render_jit(batches[0]))
     phases["ssim_fwd_bwd"] = timeit(lambda: ssim_grad(img_a))
     phases["grads_fwd_bwd"] = timeit(lambda: grad_fn(scene, batches[0], hyper).heur)

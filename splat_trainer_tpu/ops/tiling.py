@@ -8,7 +8,8 @@ by taichi-splatting (SURVEY.md §7.4 hard-part #1). Design:
   instead of scattered — fully parallel, no dynamic memory.
 - A single fused uint32 sort key packs (tile_id, quantized NDC depth):
   tile bits are the high bits so one `lax.sort_key_val` yields instances
-  grouped by tile in front-to-back depth order.
+  grouped by tile in front-to-back depth order. (A hand-rolled
+  cumsum/scatter radix sort measured ~1.8x SLOWER in-step — ops/sort.py.)
 - Static capacity `max_instances`; overflow instances are dropped and
   *counted* (Rendering.clipped_instances — never silent).
 
@@ -93,7 +94,14 @@ def expand_and_sort(
     config: RasterConfig,
     grid: TileGrid,
 ) -> Instances:
-    """Expand gaussians into depth-sorted per-tile instances (static capacity)."""
+    """Expand gaussians into depth-sorted per-tile instances (static capacity).
+
+    Design choices here are measured on real TPU with the full training
+    step as ground truth (micro-benchmarks through the remote-TPU tunnel
+    mislead — see ops/sort.py): the ONE (M, 8) row-gather of per-gaussian
+    fields beats five scalar (M,) gathers by ~25% end-to-end, and
+    `lax.sort_key_val` on the packed (tile, depth) u32 key beats a
+    hand-rolled cumsum/scatter radix sort by ~1.8x."""
     M = config.max_instances
     (x0, y0, x1, _y1), span = tile_rects(mean, radius, visible, grid)
     span_x = jnp.maximum(x1 - x0, 1)
@@ -115,11 +123,8 @@ def expand_and_sort(
         jnp.arange(span.shape[0], dtype=jnp.int32), mode="drop")
     gid = jax.lax.cummax(seg_marks)
 
-    # Per-instance per-gaussian values come from ONE row-gather of a packed
-    # (N, 8) f32 matrix: separate scalar gathers are HBM-latency-bound
-    # (~100ns per random element -> ~0.4s for 5 gathers of 4M); a 32-byte
-    # row costs the same single transaction. All values are integers
-    # < 2^24, exact in f32.
+    # per-instance per-gaussian values from ONE row-gather of a packed
+    # (N, 8) f32 matrix (all values are integers < 2^24, exact in f32)
     db = grid.depth_bits
     dq = jnp.minimum(jnp.clip(depth_ndc, 0.0, 1.0) * float((1 << db) - 1),
                      float((1 << db) - 1))
@@ -132,20 +137,21 @@ def expand_and_sort(
         jnp.zeros_like(dq), jnp.zeros_like(dq), jnp.zeros_like(dq),
     ], axis=-1)                                      # (N, 8)
     aux = aux_g[gid]                                 # (M, 8) one row-gather
+    offs_f, sx_f = aux[:, 0], aux[:, 1]
+    x0_f, y0_f, dq_i = aux[:, 2], aux[:, 3], aux[:, 4]
 
     # instance -> tile within the gaussian's rect. Integer div/mod by a
     # runtime divisor has no native VPU op (~30ms/op at 2M); exact float
     # reciprocal with a +-1 fixup instead.
-    r = inst.astype(jnp.float32) - aux[:, 0]
-    sx_f = aux[:, 1]
+    r = inst.astype(jnp.float32) - offs_f
     ry = jnp.floor(r / sx_f)
     rx = r - ry * sx_f
     ry = jnp.where(rx < 0, ry - 1, jnp.where(rx >= sx_f, ry + 1, ry))
     rx = r - ry * sx_f
 
     # tile id and depth bits in exact f32, packed into the u32 sort key
-    tile_f = (aux[:, 3] + ry) * grid.ntx + (aux[:, 2] + rx)
-    key = (tile_f.astype(jnp.uint32) << db) | aux[:, 4].astype(jnp.uint32)
+    tile_f = (y0_f + ry) * grid.ntx + (x0_f + rx)
+    key = (tile_f.astype(jnp.uint32) << db) | dq_i.astype(jnp.uint32)
     invalid_key = jnp.uint32(grid.num_tiles) << db
     key = jnp.where(valid, key, invalid_key)
 
@@ -153,8 +159,8 @@ def expand_and_sort(
 
     # per-tile instance ranges via boundary search
     boundaries = (jnp.arange(grid.num_tiles + 1, dtype=jnp.uint32) << db)
-    tile_starts = jnp.searchsorted(sorted_key, boundaries, side="left").astype(jnp.int32)
-
+    tile_starts = jnp.searchsorted(sorted_key, boundaries,
+                                   side="left").astype(jnp.int32)
     sorted_tile = (sorted_key >> db).astype(jnp.int32)
     sorted_valid = sorted_tile < grid.num_tiles
 

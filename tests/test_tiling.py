@@ -112,3 +112,16 @@ def test_invisible_produce_no_instances():
     grid = tiling.make_tile_grid((16, 16), 16)
     inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
     assert int(inst.total) == 0
+
+
+def test_radix_sort_matches_argsort():
+    from splat_trainer_tpu.ops.sort import radix_argsort, radix_sort
+    rng = np.random.RandomState(0)
+    keys = jnp.asarray(rng.randint(0, 1 << 18, size=20_000, dtype=np.int32))
+    payload = jnp.arange(20_000, dtype=jnp.int32)
+    sk, sp = radix_sort(keys, payload, num_bits=18)
+    ref = np.argsort(np.asarray(keys), kind="stable")
+    np.testing.assert_array_equal(np.asarray(sp), ref)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(keys)[ref])
+    sk2, order = radix_argsort(keys, num_bits=18)
+    np.testing.assert_array_equal(np.asarray(order), ref)
