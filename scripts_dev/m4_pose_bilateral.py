@@ -1,0 +1,151 @@
+"""Milestone-4 experiment: camera pose refinement + bilateral color correction.
+
+BASELINE.md config 4 (T&T truck: pose refinement + color corrector enabled)
+on the procedural stand-in dataset: camera-table poses are perturbed by a
+known noise while images stay rendered from TRUE poses, and per-image
+exposure/white-balance jitter is applied — then two arms train the same
+scene:
+
+  frozen   — lr_pose = 0, no corrector (the reference's dormant scaffolding,
+             camera_table/pose_table.py:70-80)
+  refined  — lr_pose > 0 (per-image quaternion+translation deltas through
+             the autodiff projection) + the bilateral-grid corrector in the
+             loss (SURVEY.md #32, wired here unlike the reference)
+
+Reported per arm: val PSNR/SSIM and mean camera rotation (deg) / center
+(world units) error vs the TRUE poses — before and after refinement.
+
+Usage: python scripts_dev/m4_pose_bilateral.py [--steps 4000] [--out runs]
+"""
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def pose_errors(table_poses: np.ndarray, true_poses: np.ndarray,
+                scene=None) -> dict:
+    """Mean rotation (deg) + camera-center (world) error of the effective
+    poses (delta @ table) against the true poses."""
+    import jax.numpy as jnp
+
+    from splat_trainer_tpu.utils import transforms
+
+    errs_r, errs_c = [], []
+    for i in range(table_poses.shape[0]):
+        Ti = table_poses[i].copy()
+        if scene is not None:
+            dq = np.asarray(transforms.normalize(jnp.asarray(scene.pose_dq[i])))
+            D = np.eye(4, dtype=np.float64)
+            D[:3, :3] = np.asarray(
+                transforms.quat_to_rotmat(jnp.asarray(dq)), np.float64)
+            D[:3, 3] = np.asarray(scene.pose_dt[i], np.float64)
+            Ti = D @ Ti
+        E = Ti[:3, :3] @ true_poses[i][:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(E) - 1) / 2, -1.0, 1.0)))
+        c_est = -Ti[:3, :3].T @ Ti[:3, 3]
+        c_true = -true_poses[i][:3, :3].T @ true_poses[i][:3, 3]
+        errs_r.append(ang)
+        errs_c.append(np.linalg.norm(c_est - c_true))
+    return {"rot_deg": float(np.mean(errs_r)),
+            "center": float(np.mean(errs_c))}
+
+
+def run_arm(name: str, *, steps: int, out: Path, lr_pose: float,
+            bilateral: bool, pose_noise: float, jitter: float) -> dict:
+    import jax
+
+    from splat_trainer_tpu.color_corrector import (
+        BilateralCorrectorConfig, NilCorrectorConfig,
+    )
+    from splat_trainer_tpu.controller import DisabledConfig
+    from splat_trainer_tpu.data.procedural import ProceduralDataset
+    from splat_trainer_tpu.logger.tensorboard import TensorboardLogger
+    from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
+    from splat_trainer_tpu.trainer.config import TrainConfig
+    from splat_trainer_tpu.trainer.init import CloudInitConfig
+    from splat_trainer_tpu.trainer.trainer import Trainer
+    from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
+
+    dataset = ProceduralDataset(
+        num_images=64, image_size=(768, 512), split_every=8,
+        appearance_jitter=jitter, pose_noise=pose_noise, verbose=False)
+
+    config = TrainConfig(
+        total_steps=steps, eval_steps=max(steps // 4, 1), log_interval=20,
+        target_points=100_000,
+        controller=DisabledConfig(),
+        scene=MLPSceneConfig(lr_pose=lr_pose),
+        view_selection=RandomSamplerConfig(batch_size=1),
+        cloud_init=CloudInitConfig(initial_points=100_000,
+                                   limit_points=50_000),
+        color_corrector=(BilateralCorrectorConfig() if bilateral
+                         else NilCorrectorConfig()),
+        max_instances=1 << 21, chunk_size=128,
+        max_ssim_regression=1.0, save_checkpoints=False, save_output=True,
+        log_images=False)
+
+    run_dir = out / f"m4_{name}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(run_dir)
+    try:
+        trainer = Trainer.initialize(
+            config, dataset, TensorboardLogger("tensorboard"))
+        metrics = trainer.train()
+        table = np.asarray(dataset.camera_table.cameras.camera_t_world,
+                           np.float64)
+        result = {
+            "arm": name, "steps": steps,
+            "val_psnr": metrics.get("val_psnr"),
+            "val_ssim": metrics.get("val_ssim"),
+            "val_cc_psnr": metrics.get("val_cc_psnr"),
+            "pose_error_injected": pose_errors(
+                table, dataset.true_poses.astype(np.float64)),
+            "pose_error_refined": pose_errors(
+                table, dataset.true_poses.astype(np.float64), trainer.scene),
+        }
+        trainer.close()
+    finally:
+        os.chdir(cwd)
+    (run_dir / "result.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result, indent=2), flush=True)
+    return result
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--out", default="runs")
+    p.add_argument("--pose-noise", type=float, default=0.01,
+                   help="rotation noise (rad) injected into the camera table")
+    p.add_argument("--jitter", type=float, default=0.15,
+                   help="per-image exposure/WB log-stddev")
+    args = p.parse_args()
+    out = Path(args.out).absolute()
+
+    results = [
+        run_arm("frozen", steps=args.steps, out=out, lr_pose=0.0,
+                bilateral=False, pose_noise=args.pose_noise,
+                jitter=args.jitter),
+        run_arm("refined", steps=args.steps, out=out, lr_pose=3e-3,
+                bilateral=True, pose_noise=args.pose_noise,
+                jitter=args.jitter),
+    ]
+    print("\n== summary ==")
+    for r in results:
+        print(f"{r['arm']:8s} val_psnr={r['val_psnr']:.2f} "
+              f"rot_err {r['pose_error_injected']['rot_deg']:.3f}deg -> "
+              f"{r['pose_error_refined']['rot_deg']:.3f}deg  "
+              f"center_err {r['pose_error_injected']['center']:.4f} -> "
+              f"{r['pose_error_refined']['center']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,16 @@ def read_cameras_bin(path) -> Dict[int, ColmapCamera]:
 
 
 def read_images_bin(path) -> List[ColmapImage]:
+    # native single-pass mmap parser when built (data/colmap/native.py);
+    # the struct loop below is the dependency-free fallback
+    from splat_trainer_tpu.data.colmap import native
+    nat = native.read_images_bin(path)
+    if nat is not None:
+        image_ids, qvecs, tvecs, camera_ids, names = nat
+        return [ColmapImage(int(image_ids[i]), qvecs[i], tvecs[i],
+                            int(camera_ids[i]), names[i])
+                for i in range(len(names))]
+
     images = []
     with open(path, "rb") as f:
         (num,) = _read_bytes(f, "<Q")
@@ -120,6 +130,13 @@ def read_images_bin(path) -> List[ColmapImage]:
 
 
 def read_points3d_bin(path):
+    # city-scale reconstructions hold millions of variable-length records;
+    # the native parser does this in tens of ms vs minutes for the loop below
+    from splat_trainer_tpu.data.colmap import native
+    nat = native.read_points3d_bin(path)
+    if nat is not None:
+        return nat
+
     xyz, rgb = [], []
     with open(path, "rb") as f:
         (num,) = _read_bytes(f, "<Q")

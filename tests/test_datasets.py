@@ -134,3 +134,68 @@ def test_normalization_inverse():
     cam_norm = m2[:3, :3] @ pn + m2[:3, 3]
     np.testing.assert_allclose(cam_norm / cam_norm[2],
                                cam_orig / cam_orig[2], atol=1e-4)
+
+
+def test_colmap_bin_native_parity(tmp_path):
+    """points3D.bin / images.bin: the native C++ parser and the pure-Python
+    struct loop must agree exactly (variable-length track/2D blocks)."""
+    import struct
+
+    from splat_trainer_tpu.data.colmap import native, reader
+
+    rng = np.random.RandomState(3)
+    n_pts, n_imgs = 257, 5
+
+    p3d = tmp_path / "points3D.bin"
+    with open(p3d, "wb") as f:
+        f.write(struct.pack("<Q", n_pts))
+        for i in range(n_pts):
+            track_len = int(rng.randint(0, 7))
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<3d", *rng.randn(3)))
+            f.write(struct.pack("<3B", *rng.randint(0, 256, 3)))
+            f.write(struct.pack("<d", rng.rand()))
+            f.write(struct.pack("<Q", track_len))
+            for t in range(track_len):
+                f.write(struct.pack("<ii", t, t + 1))
+
+    imgs = tmp_path / "images.bin"
+    names = [f"frame_{i:04d}.png" for i in range(n_imgs)]
+    with open(imgs, "wb") as f:
+        f.write(struct.pack("<Q", n_imgs))
+        for i in range(n_imgs):
+            n2d = int(rng.randint(0, 9))
+            f.write(struct.pack("<i", 10 + i))
+            f.write(struct.pack("<4d", *rng.randn(4)))
+            f.write(struct.pack("<3d", *rng.randn(3)))
+            f.write(struct.pack("<i", i % 2))
+            f.write(names[i].encode() + b"\x00")
+            f.write(struct.pack("<Q", n2d))
+            for t in range(n2d):
+                f.write(struct.pack("<ddq", 0.5 * t, 0.25 * t, t))
+
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    nat_xyz, nat_rgb = native.read_points3d_bin(p3d)
+    # force the pure-python fallback by monkey-free direct loop comparison
+    import splat_trainer_tpu.data.colmap.native as natmod
+    saved = natmod._LIB, natmod._TRIED
+    try:
+        natmod._LIB, natmod._TRIED = None, True
+        py_xyz, py_rgb = reader.read_points3d_bin(p3d)
+        py_images = reader.read_images_bin(imgs)
+    finally:
+        natmod._LIB, natmod._TRIED = saved
+
+    np.testing.assert_allclose(nat_xyz, py_xyz, rtol=1e-6)
+    np.testing.assert_allclose(nat_rgb, py_rgb, rtol=1e-6)
+
+    nat_images = reader.read_images_bin(imgs)  # native path
+    assert len(nat_images) == len(py_images) == n_imgs
+    for a, b in zip(nat_images, py_images):
+        assert a.image_id == b.image_id and a.camera_id == b.camera_id
+        assert a.name == b.name
+        np.testing.assert_allclose(a.qvec, b.qvec)
+        np.testing.assert_allclose(a.tvec, b.tvec)
