@@ -111,3 +111,19 @@ def test_trainer_with_target_controller(dataset, tmp_path, monkeypatch):
     assert "densify" in trainer.logger
     assert n1 != n0
     trainer.close()
+
+
+def test_batch_summary(dataset, tmp_path, monkeypatch):
+    """debug.batch_summary: one backward per view, tabulated stats
+    (reference trainer/debug.py:30)."""
+    monkeypatch.chdir(tmp_path)
+    config = make_config(tmp_path, total_steps=4, save_output=False)
+    trainer = Trainer.initialize(config, dataset, NullLogger())
+    trainer.dataset.load_images()
+
+    from splat_trainer_tpu.debug import batch_summary
+    df = batch_summary(trainer, limit=3)
+    assert len(df) == 3
+    assert {"psnr", "num_visible", "grad_position"} <= set(df.columns)
+    assert (df["num_visible"] > 0).all()
+    trainer.close()
