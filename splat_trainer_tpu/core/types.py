@@ -91,6 +91,14 @@ class CameraParams:
     near_plane: jax.Array
     far_plane: jax.Array
     image_size: Tuple[int, int] = struct.field(pytree_node=False)
+    # For crop/slab cameras (shifted principal point rendering a sub-image
+    # of a larger frame): the FULL frame's (width, height). The projection's
+    # Jacobian frustum clamp must use the full extent — t*inv_z is
+    # independent of cx/cy, so clamping against a tiny crop height distorts
+    # covariances near the crop (utils/render_image.py, parallel/
+    # image_parallel.py). None = image_size.
+    clip_size: Optional[Tuple[int, int]] = struct.field(
+        pytree_node=False, default=None)
 
     @property
     def camera_position(self) -> jax.Array:
@@ -184,6 +192,10 @@ class RenderedPoints:
     split_score: jax.Array    # (N,) gradient-derived split heuristic
     screen_scale: jax.Array   # (N, 2) screen-space sigma (pixels)
     depths: jax.Array         # (N,) camera z
+    # settable per-point payload (reference: `rendering.points.attributes`,
+    # mlp_scene.py:423 — e.g. the evaluated colors); attach with
+    # `points.replace(attributes=x)`
+    attributes: Optional[jax.Array] = None
 
     @property
     def num_visible(self) -> jax.Array:

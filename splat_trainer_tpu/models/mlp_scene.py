@@ -255,7 +255,11 @@ def render(
         scene.gaussians(), colors, camera, raster_config,
         active=scene.active, heur_sink=heur_sink)
 
-    return rendering.replace(image=config.post_activation(rendering.image))
+    # attach the evaluated per-point colors as the settable attributes
+    # payload (reference mlp_scene.py:423)
+    return rendering.replace(
+        image=config.post_activation(rendering.image),
+        points=rendering.points.replace(attributes=colors))
 
 
 def reg_loss(

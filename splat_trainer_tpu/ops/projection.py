@@ -86,9 +86,13 @@ def project_to_image(
     c02 = m00 * m20 + m01 * m21 + m02 * m22
     c12 = m10 * m20 + m11 * m21 + m12 * m22
 
-    # perspective Jacobian with clamped offsets (3DGS-style frustum guard)
-    lim_x = config.clip_margin * (0.5 * w_img / fx)
-    lim_y = config.clip_margin * (0.5 * h_img / fy)
+    # perspective Jacobian with clamped offsets (3DGS-style frustum guard).
+    # Crop/slab cameras clamp against the FULL frame extent (clip_size):
+    # t*inv_z is principal-point independent, and a crop-height clamp would
+    # distort covariances (see CameraParams.clip_size).
+    w_clip, h_clip = camera.clip_size or camera.image_size
+    lim_x = config.clip_margin * (0.5 * w_clip / fx)
+    lim_y = config.clip_margin * (0.5 * h_clip / fy)
     txz = jnp.clip(t0 * inv_z, -lim_x, lim_x)
     tyz = jnp.clip(t1 * inv_z, -lim_y, lim_y)
 

@@ -105,8 +105,8 @@ def make_pp_train_step(
 ):
     """Build a jitted point-sharded train step.
 
-    Requires batch size B == mesh size (one camera composited per chip) and
-    scene capacity divisible by the mesh size. Returns
+    Requires batch size B = k * mesh size (each chip composites k cameras
+    per step) and scene capacity divisible by the mesh size. Returns
     (step_fn, batch_sharding, scene_sharding, pstate_sharding).
     """
     D = mesh.size
@@ -117,7 +117,9 @@ def make_pp_train_step(
     def local_grads(scene_l: ms.SceneState, batch: TrainBatch, hyper: Dict):
         """Runs per-shard inside shard_map; scene_l is the local C/D slab."""
         B = batch.images.shape[0]
-        assert B == D, f"points-parallel needs batch == mesh size ({B} != {D})"
+        assert B % D == 0, (
+            f"points-parallel needs batch ({B}) % mesh size ({D}) == 0")
+        k = B // D                     # cameras composited per chip
         cap_l = scene_l.capacity
         my = jax.lax.axis_index(POINTS_AXIS)
 
@@ -152,63 +154,82 @@ def make_pp_train_step(
             opacity_f = jax.lax.all_gather(opacity_l, POINTS_AXIS, tiled=True)
             scale_f = jax.lax.all_gather(scale_l, POINTS_AXIS, tiled=True)
 
-            # phase 2: distributed transpose — full point set for MY camera
+            # phase 2: distributed transpose — full point set for each of
+            # MY k cameras. Tiled all_to_all sends chunk j (k cameras) to
+            # device j; received rows are (source shard, local camera).
             def exchange(x):
                 y = jax.lax.all_to_all(x, POINTS_AXIS, split_axis=0,
-                                       concat_axis=0)  # (D, cap_l, ...)
-                # rows ordered by source shard -> flatten to the global
-                # (shard-major) point order, matching axis-0 sharding
-                return y.reshape((D * cap_l,) + y.shape[2:])
+                                       concat_axis=0, tiled=True)
+                y = y.reshape((D, k, cap_l) + y.shape[2:])
+                y = jnp.moveaxis(y, 1, 0)          # (k, D, cap_l, ...)
+                # flatten shards to the global (shard-major) point order
+                return y.reshape((k, D * cap_l) + y.shape[3:])
 
             full = jax.tree_util.tree_map(exchange, stacked)
             heur_full = exchange(heur_sink_l)
 
-            g2d_f: Gaussians2D = full["g2d"]
-            camera_my = CameraParams(
-                T_camera_world=jnp.take(batch.T_camera_world, my, axis=0),
-                projection=jnp.take(batch.projection, my, axis=0),
-                near_plane=jnp.take(batch.near, my, axis=0),
-                far_plane=jnp.take(batch.far, my, axis=0),
-                image_size=image_size)
+            total = jnp.float32(0.0)
+            metrics_acc = None
+            vis_ks, in_view_ks, scale_ks = [], [], []
+            for i in range(k):
+                ci = my * k + i                     # my i-th camera's index
+                g2d_f: Gaussians2D = jax.tree_util.tree_map(
+                    lambda x: x[i], full["g2d"])
+                camera_my = CameraParams(
+                    T_camera_world=jnp.take(batch.T_camera_world, ci, axis=0),
+                    projection=jnp.take(batch.projection, ci, axis=0),
+                    near_plane=jnp.take(batch.near, ci, axis=0),
+                    far_plane=jnp.take(batch.far, ci, axis=0),
+                    image_size=image_size)
 
-            # phase 3: composite MY camera over the full set
-            rendering = renderer.render_projected(
-                g2d_f, full["colors"], camera_my, raster_config,
-                heur_sink=heur_full)
-            image = scene_config.post_activation(rendering.image)
-            ref = jnp.take(batch.images, my, axis=0)
-            loss_img, metrics = compute_losses(image, ref, hyper, ssim_levels)
+                # phase 3: composite this camera over the full set
+                rendering = renderer.render_projected(
+                    g2d_f, full["colors"][i], camera_my, raster_config,
+                    heur_sink=heur_full[i])
+                image = scene_config.post_activation(rendering.image)
+                ref = jnp.take(batch.images, ci, axis=0)
+                loss_img, metrics = compute_losses(image, ref, hyper,
+                                                   ssim_levels)
 
-            # reg (visibility-weighted, reference mlp_scene.py:247-288) over
-            # the full exchanged set for MY camera
-            vis = rendering.points.visibility
-            visible = vis > 0.0
-            n_vis = jnp.maximum(visible.sum(), 1).astype(jnp.float32)
-            w = jnp.where(visible, vis, 0.0)
-            depths = jnp.maximum(jnp.abs(g2d_f.depth), 1e-6)
-            norm_scale = (scale_f ** 2).sum(-1) / depths ** 2
-            aspect = scale_f.max(-1) / jnp.maximum(scale_f.min(-1), 1e-12)
-            regs = {
-                "scale": (norm_scale * w).sum() / n_vis,
-                "opacity": (saturate(opacity_f, gain=4.0, k=2.0)
-                            * norm_scale * w).sum() / n_vis,
-                "aspect": (aspect * w).sum() / n_vis,
-                "specular": (full["spec"] * w).sum() / n_vis,
-            }
-            reg_w = {k: regs[k] * hyper["reg"][k]
-                     for k in regs if k in hyper["reg"]}
-            total = loss_img + sum(reg_w.values())
+                # reg (visibility-weighted, reference mlp_scene.py:247-288)
+                # over the full exchanged set for this camera
+                vis = rendering.points.visibility
+                visible = vis > 0.0
+                n_vis = jnp.maximum(visible.sum(), 1).astype(jnp.float32)
+                w = jnp.where(visible, vis, 0.0)
+                depths = jnp.maximum(jnp.abs(g2d_f.depth), 1e-6)
+                norm_scale = (scale_f ** 2).sum(-1) / depths ** 2
+                aspect = scale_f.max(-1) / jnp.maximum(scale_f.min(-1), 1e-12)
+                regs = {
+                    "scale": (norm_scale * w).sum() / n_vis,
+                    "opacity": (saturate(opacity_f, gain=4.0, k=2.0)
+                                * norm_scale * w).sum() / n_vis,
+                    "aspect": (aspect * w).sum() / n_vis,
+                    "specular": (full["spec"][i] * w).sum() / n_vis,
+                }
+                reg_w = {r: regs[r] * hyper["reg"][r]
+                         for r in regs if r in hyper["reg"]}
+                total = total + loss_img + sum(reg_w.values())
 
-            metrics["reg"] = reg_w
-            metrics["num_visible"] = rendering.points.num_visible
-            metrics["clipped"] = (rendering.clipped_instances
-                                  if rendering.clipped_instances is not None
-                                  else jnp.int32(0))
+                metrics["reg"] = reg_w
+                metrics["num_visible"] = rendering.points.num_visible
+                metrics["clipped"] = (rendering.clipped_instances
+                                      if rendering.clipped_instances is not None
+                                      else jnp.int32(0))
+                metrics_acc = (metrics if metrics_acc is None
+                               else jax.tree_util.tree_map(
+                                   lambda a, b: a + b, metrics_acc, metrics))
+                vis_ks.append(jax.lax.stop_gradient(vis))
+                in_view_ks.append(rendering.points.in_view)
+                scale_ks.append(jax.lax.stop_gradient(g2d_f.screen_scale))
+
+            metrics_acc = jax.tree_util.tree_map(
+                lambda x: x / k, metrics_acc)
             aux = dict(
-                vis_full=jax.lax.stop_gradient(vis),
-                in_view_full=rendering.points.in_view,
-                screen_scale_full=jax.lax.stop_gradient(
-                    g2d_f.screen_scale), metrics=metrics)
+                vis_full=jnp.stack(vis_ks),          # (k, D*cap_l)
+                in_view_full=jnp.stack(in_view_ks),
+                screen_scale_full=jnp.stack(scale_ks),
+                metrics=metrics_acc)
             return total, aux
 
         params = ms.trainable_params(scene_l)
@@ -218,11 +239,13 @@ def make_pp_train_step(
         heur = heur_bc.sum(axis=0)  # (cap_l, 2): all cameras' contributions
 
         # reverse transpose of the non-differentiated per-point statistics:
-        # (D, cap_l) rows by shard -> (B, cap_l) rows by camera, MY shard
+        # (k, D*cap_l) by camera -> (B, cap_l) rows = MY shard's statistics
+        # in every camera of the global batch
         def unexchange(x_full):
-            x = x_full.reshape((D, cap_l) + x_full.shape[1:])
+            x = x_full.reshape((k, D, cap_l) + x_full.shape[2:])
+            x = jnp.moveaxis(x, 1, 0).reshape((B, cap_l) + x_full.shape[2:])
             return jax.lax.all_to_all(x, POINTS_AXIS, split_axis=0,
-                                      concat_axis=0)
+                                      concat_axis=0, tiled=True)
 
         vis_bc = unexchange(aux["vis_full"])                   # (B, cap_l)
         in_view_bc = unexchange(aux["in_view_full"])

@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--max-instances", type=int, default=1 << 22)
     p.add_argument("--chunk-size", type=int, default=128)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the timed train-step "
+                        "loop to DIR (view with tensorboard or perfetto)")
     args = p.parse_args(argv)
 
     import jax
@@ -111,11 +114,17 @@ def main(argv=None):
     scene, pstate, m = step(scene, pstate, batch, hyper, ks[0])
     jax.block_until_ready(m.mse)
     c = time.time() - t0
-    t0 = time.time()
-    for _ in range(args.iters):
-        scene, pstate, m = step(scene, pstate, batch, hyper, ks[0])
-    jax.block_until_ready(m.mse)
-    t = (time.time() - t0) / args.iters
+    import contextlib
+    trace_ctx = (jax.profiler.trace(args.profile)
+                 if args.profile else contextlib.nullcontext())
+    with trace_ctx:
+        t0 = time.time()
+        for _ in range(args.iters):
+            scene, pstate, m = step(scene, pstate, batch, hyper, ks[0])
+        jax.block_until_ready(m.mse)
+        t = (time.time() - t0) / args.iters
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
     results["train_step_ms"] = round(t * 1000, 3)
     results["images_per_sec"] = round(1.0 / t, 3)
     print(f"full train step: compile {c:6.1f}s  {t * 1000:8.2f} ms "

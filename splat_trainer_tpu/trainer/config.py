@@ -79,8 +79,8 @@ class TrainConfig:
     # multi-chip POINT sharding for city-scale scenes (BASELINE.md config 5):
     # capacity-shaped state lives N/D per chip; one all_to_all per step
     # transposes (camera, shard) -> each chip composites one camera over the
-    # full point set (parallel/points_parallel.py). batch_size must equal
-    # the mesh size. Mutually exclusive with `dp`.
+    # full point set (parallel/points_parallel.py). batch_size must be a
+    # multiple of the mesh size. Mutually exclusive with `dp`.
     pp: bool = False
     pp_devices: Optional[int] = None  # None = all local devices
 

@@ -124,10 +124,10 @@ class Trainer:
                 devices = devices[:config.pp_devices]
             self.mesh = ppar.make_points_mesh(devices)
             bs = getattr(config.view_selection, "batch_size", 1)
-            if bs != self.mesh.size:
+            if bs % self.mesh.size != 0:
                 raise ValueError(
-                    f"pp needs batch_size ({bs}) == mesh size "
-                    f"({self.mesh.size}) — one camera composited per chip")
+                    f"pp needs batch_size ({bs}) % mesh size "
+                    f"({self.mesh.size}) == 0 (k cameras composited per chip)")
             if scene.capacity % self.mesh.size != 0:
                 raise ValueError(
                     f"pp needs capacity ({scene.capacity}) % mesh size "

@@ -26,6 +26,8 @@ def crop_camera(camera: CameraParams, offset: Tuple[int, int],
         near_plane=camera.near_plane,
         far_plane=camera.far_plane,
         image_size=size,
+        # Jacobian frustum clamp stays in the full frame (crop-exactness)
+        clip_size=camera.clip_size or camera.image_size,
     )
 
 
