@@ -177,7 +177,10 @@ def test_dp_multiple_steps_improve(setup):
     hyper = make_hyper(config, DummyTrainCfg, 0.0)
     hyper["reg"] = {k: 0.0 for k in hyper["reg"]}
     pstate = PointState.new_zeros(scene.capacity)
-    scene = jax.device_put(scene, rep)
+    # explicit copy: device_put to the same device can alias the fixture's
+    # buffers, and dp_step donates its inputs — donation must not eat the
+    # module-scoped fixture
+    scene = jax.device_put(jax.tree_util.tree_map(jnp.copy, scene), rep)
 
     first = last = None
     for step in range(10):
