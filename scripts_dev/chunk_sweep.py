@@ -57,6 +57,7 @@ def main():
     hyper = make_hyper(cfg.scene, cfg, 0.5)
 
     for chunk in args.chunks:
+      try:
         rcfg = dataclasses.replace(cfg.raster_config(), chunk_size=chunk)
         step = jax.jit(functools.partial(
             train_step, scene_config=cfg.scene, raster_config=rcfg,
@@ -72,6 +73,9 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         print(f"chunk_size={chunk:5d}: full step {dt*1e3:8.2f} ms  "
               f"clipped={int(m.clipped_instances)}", flush=True)
+      except Exception as e:  # e.g. VMEM overflow at large chunks
+        print(f"chunk_size={chunk:5d}: FAILED ({type(e).__name__}: "
+              f"{str(e)[:200]})", flush=True)
 
 
 if __name__ == "__main__":
