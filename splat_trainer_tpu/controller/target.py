@@ -40,6 +40,16 @@ class TargetConfig:
     max_scale_px: float = 200.0
     min_split_px: float = 0.0
     densify_prune_interval: VaryingInt = field(default_factory=default_densify_interval)
+    # instance-overflow guard: unlike the reference's CUDA rasterizer
+    # (dynamic per-tile lists), the TPU binning has a STATIC instance budget
+    # (RasterConfig.max_instances) and drops+counts the overflow. Overflow
+    # corrupts the training signal — observed as a full quality collapse on
+    # the garden-class milestone when densification pushed demand past the
+    # budget. When the dropped fraction exceeds `clip_tolerance`, the
+    # controller freezes the count target, and ratchets it down by
+    # `clip_backoff` per densify while overflow persists.
+    clip_tolerance: float = 1e-3
+    clip_backoff: float = 0.95
 
     def make_controller(self, start_points: int, target_points: int,
                         progress: Progress) -> "TargetController":
@@ -112,6 +122,7 @@ class TargetController:
         self.start_points = start_points
         self.max_points = target_points
         self.next_densify = self.find_next_densify(progress)
+        self.target_cap = None    # set by the instance-overflow guard
 
     def find_next_densify(self, progress: Progress):
         interval = int(eval_varying(self.config.densify_prune_interval, progress.t))
@@ -121,7 +132,25 @@ class TargetController:
     def target_points(self, progress: Progress) -> int:
         target_step = self.config.target_count_t * progress.total_steps
         t = min(max(progress.step / max(target_step, 1), 0.0), 1.0)
-        return int(smoothstep(t, self.start_points, self.max_points))
+        target = int(smoothstep(t, self.start_points, self.max_points))
+        if self.target_cap is not None:
+            target = min(target, self.target_cap)
+        return target
+
+    def note_clipping(self, clipped: int, max_instances: int,
+                      progress: Progress):
+        """Instance-overflow guard (see TargetConfig.clip_tolerance): freeze
+        the count target when the rasterizer drops instances; ratchet it
+        down while overflow persists. Never released — demand rarely
+        shrinks on its own."""
+        if clipped <= self.config.clip_tolerance * max_instances:
+            return
+        scheduled = self.target_points(progress)
+        if self.target_cap is None:
+            self.target_cap = scheduled
+        else:
+            self.target_cap = int(min(self.target_cap, scheduled)
+                                  * self.config.clip_backoff)
 
     def should_densify(self, progress: Progress) -> bool:
         return self.next_densify is not None and progress.step >= self.next_densify
@@ -132,8 +161,11 @@ class TargetController:
         return dict(t=progress.t, target_points=self.target_points(progress))
 
     def state_dict(self) -> dict:
-        return dict(start_points=self.start_points, next_densify=self.next_densify)
+        return dict(start_points=self.start_points,
+                    next_densify=self.next_densify,
+                    target_cap=self.target_cap)
 
     def load_state_dict(self, state: dict):
         self.start_points = state["start_points"]
         self.next_densify = state["next_densify"]
+        self.target_cap = state.get("target_cap")

@@ -477,6 +477,7 @@ class Trainer:
         self.logger.log_values("train/metrics", dict(
             l1=float(m.l1), mse=float(m.mse), ssim=float(m.ssim), psnr=psnr))
         clipped = int(m.clipped_instances)
+        self._last_clipped = clipped  # feeds the controller's overflow guard
         if clipped > 0:
             self.logger.log_value("train/clipped_instances", clipped)
 
@@ -513,6 +514,10 @@ class Trainer:
         ctl = self.controller
         if isinstance(cfg, TargetConfig):
             if ctl.should_densify(self.progress):
+                # instance-overflow guard: cap/back off the count target when
+                # the rasterizer reports dropped instances (static budget)
+                ctl.note_clipping(getattr(self, "_last_clipped", 0),
+                                  self.config.max_instances, self.progress)
                 args = ctl.densify_args(self.progress)
                 self.scene, self.pstate, metrics = self._densify.densify(
                     self.scene, self.pstate, self._next_key(),

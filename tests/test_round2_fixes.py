@@ -111,3 +111,38 @@ def test_controller_fns_built_once():
     body = src.split("def controller_step")[1].split("\n    def ")[0]
     assert "jax.jit" not in body
     assert "_build_controller_fns" in src
+
+
+def test_overflow_guard_caps_target():
+    """Instance-overflow guard: the count target freezes when the
+    rasterizer drops instances and ratchets down while overflow persists
+    (static-capacity consequence; the m3 collapse regression)."""
+    from splat_trainer_tpu.config import Progress
+    from splat_trainer_tpu.controller.target import TargetConfig
+
+    cfg = TargetConfig()
+    ctl = cfg.make_controller(start_points=1000, target_points=10000,
+                              progress=Progress(step=0, total_steps=1000))
+    mid = Progress(step=500, total_steps=1000)
+    scheduled = ctl.target_points(mid)
+    assert 1000 < scheduled < 10000
+
+    # no overflow: schedule untouched
+    ctl.note_clipping(0, 1 << 20, mid)
+    assert ctl.target_points(mid) == scheduled
+
+    # overflow: freeze at the current schedule
+    ctl.note_clipping(100_000, 1 << 20, mid)
+    assert ctl.target_points(mid) == scheduled
+    later = Progress(step=700, total_steps=1000)
+    assert ctl.target_points(later) == scheduled  # no growth past the cap
+
+    # persistent overflow: ratchet down
+    ctl.note_clipping(100_000, 1 << 20, later)
+    assert ctl.target_points(later) < scheduled
+
+    # survives checkpoint round-trip
+    state = ctl.state_dict()
+    ctl2 = cfg.make_controller(1000, 10000, Progress(step=0, total_steps=1000))
+    ctl2.load_state_dict(state)
+    assert ctl2.target_points(later) == ctl.target_points(later)
