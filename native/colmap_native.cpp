@@ -96,7 +96,10 @@ int64_t splat_read_points3d(const char* path, float* xyz, float* rgb,
             if (!read_le(p, end, &c[k])) return -1;
         if (!read_le(p, end, &err)) return -1;
         if (!read_le(p, end, &track_len)) return -1;
-        if (p + 8 * track_len > end) return -1;
+        // compare against remaining bytes without pointer arithmetic on the
+        // untrusted length: `p + 8 * track_len` overflows (UB) for corrupt
+        // files with a huge track_len and can pass the check
+        if (track_len > static_cast<uint64_t>(end - p) / 8) return -1;
         p += 8 * track_len;
 
         if (static_cast<int64_t>(i) < cap) {
@@ -141,7 +144,7 @@ int64_t splat_read_images(const char* path, int32_t* image_ids,
 
         uint64_t n2d;
         if (!read_le(p, end, &n2d)) return -1;
-        if (p + 24 * n2d > end) return -1;
+        if (n2d > static_cast<uint64_t>(end - p) / 24) return -1;
         p += 24 * n2d;
 
         if (static_cast<int64_t>(i) < cap) {

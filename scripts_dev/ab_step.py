@@ -1,0 +1,97 @@
+"""Dev: chained full-train-step A/B harness + XLA profiler capture.
+
+The ONLY trustworthy timing protocol on the axon tunnel (see memory +
+ops/sort.py): donated state carried step to step, rotating batches, one
+block at the end. This harness loads the same checkpoint scene bench.py
+uses and times the full step; `--trace` captures a profiler trace of the
+chained loop for op-level attribution.
+
+Usage:
+  python scripts_dev/ab_step.py              # chained full-step timing
+  python scripts_dev/ab_step.py --trace      # + jax.profiler trace
+  python scripts_dev/ab_step.py --iters 30
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--trace-dir", default="/tmp/jaxtrace")
+    ap.add_argument("--max-instances", type=int, default=0,
+                    help="override raster max_instances (0 = config value)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from splat_trainer_tpu.controller.point_state import PointState
+    from splat_trainer_tpu.trainer.train_step import (
+        TrainBatch, make_hyper, train_step,
+    )
+
+    scene, cfg, camera_table = bench.load_checkpoint_scene()
+    rcfg = cfg.raster_config()
+    if args.max_instances:
+        rcfg = rcfg.replace(max_instances=args.max_instances)
+    pstate = PointState.new_zeros(scene.capacity)
+    w, h = camera_table.image_size
+
+    cams = camera_table.cameras
+    n_cams = min(8, camera_table.num_images)
+    key = jax.random.PRNGKey(0)
+    batches = []
+    for i in range(n_cams):
+        batches.append(TrainBatch(
+            images=(jax.random.uniform(jax.random.fold_in(key, i),
+                                       (1, h, w, 3)) * 255).astype(jnp.uint8),
+            image_idx=jnp.array([i]),
+            T_camera_world=cams.camera_t_world[i][None],
+            projection=cams.intrinsics[i][None],
+            near=cams.depth_range[i, 0][None],
+            far=cams.depth_range[i, 1][None]))
+
+    hyper = make_hyper(cfg.scene, cfg, 0.5)
+    step = jax.jit(functools.partial(
+        train_step, scene_config=cfg.scene, raster_config=rcfg,
+        ssim_levels=3), donate_argnums=(0, 1))
+
+    sc, ps = scene, pstate
+    t0 = time.perf_counter()
+    sc, ps, m = step(sc, ps, batches[0], hyper, key)
+    jax.block_until_ready(m.mse)
+    print(f"# compile+first step: {time.perf_counter()-t0:.1f}s")
+    # warm every batch's shapes (identical, but avoid first-use jitter)
+    sc, ps, m = step(sc, ps, batches[1], hyper, key)
+    jax.block_until_ready(m.mse)
+
+    def run(iters):
+        nonlocal sc, ps
+        t0 = time.perf_counter()
+        for i in range(iters):
+            sc, ps, m = step(sc, ps, batches[i % n_cams], hyper, key)
+        jax.block_until_ready(m.mse)
+        return (time.perf_counter() - t0) / iters
+
+    dt = run(args.iters)
+    print(f"# chained full step: {dt*1e3:.2f} ms  ({1.0/dt:.2f} img/s)  "
+          f"M={rcfg.max_instances}")
+    print(f"# clipped_instances last step: {int(m.clipped_instances)}")
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace_dir)
+        run(6)
+        jax.profiler.stop_trace()
+        print(f"# trace written to {args.trace_dir}")
+
+
+if __name__ == "__main__":
+    main()

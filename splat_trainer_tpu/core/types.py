@@ -146,10 +146,22 @@ class RasterConfig:
     # static capacity for (gaussian, tile) instance pairs; overflow is
     # dropped and counted (never silent)
     max_instances: int = 1 << 20
+    # capacity of the COMPACTED instance stream the compositing kernel
+    # consumes. Expansion demand is AABB-rect based (max_instances bounds
+    # it), but the exact ellipse-tile cull (ops/tiling.py) then discards
+    # the majority of rect instances; packing/compositing/reduction all run
+    # at this smaller static size. None = max_instances (no compaction).
+    max_render_instances: Optional[int] = None
     # instances processed per inner kernel step
     chunk_size: int = 128
     # backend: "auto" | "pallas" | "jnp"
     backend: str = "auto"
+    # per-instance -> per-gaussian reduction strategy:
+    #   "gather"  — scatter-free prefix-diff over contiguous pre-sort
+    #               segments (ops/segmented.py; TPU default — XLA
+    #               scatter-add over millions of unsorted ids serializes)
+    #   "segment" — jax.ops.segment_sum (scatter-add); kept for A/B
+    reduce: str = "gather"
 
     def __post_init__(self):
         assert self.max_instances % self.chunk_size == 0, \

@@ -23,12 +23,14 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from splat_trainer_tpu.core.types import (
     CameraParams, Gaussians2D, Gaussians3D, RasterConfig, RenderedPoints, Rendering,
 )
 from splat_trainer_tpu.ops import rasterize_jnp, rasterize_pallas, tiling
 from splat_trainer_tpu.ops.projection import inverse_ndc_depth, ndc_depth, project_to_image
+from splat_trainer_tpu.ops.segmented import segment_sum_contiguous
 
 
 class RasterOut(NamedTuple):
@@ -63,7 +65,9 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
 
     def forward_parts(mean, conic, opacity, color, depth_ndc, radius):
         visible = radius >= 1.0
-        inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
+        inst = tiling.expand_and_sort(
+            mean, radius, visible, depth_ndc, config, grid,
+            conic=lax.stop_gradient(conic), opacity=lax.stop_gradient(opacity))
         n = mean.shape[0]
         # ONE contiguous row-gather (a 64-byte row costs the same HBM
         # transaction as a scalar) followed by a bandwidth-bound transpose —
@@ -77,9 +81,18 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
             inst.tile_starts, inst.tile_counts, packed, grid, image_size,
             config, interpret=interpret)
 
-        vis = jax.ops.segment_sum(
-            jnp.where(inst.valid, inst_vis[0], 0.0), inst.gaussian_id,
-            num_segments=n)
+        if config.reduce == "segment":
+            vis = jax.ops.segment_sum(
+                jnp.where(inst.valid, inst_vis[0], 0.0), inst.gaussian_id,
+                num_segments=n)
+        else:
+            # gather each pre-sort instance's value from its aligned slot
+            # (dropped -> fill 0), then prefix-diff over the contiguous
+            # per-gaussian ranges — no scatter-add (ops/segmented.py)
+            vis_orig = jnp.take(inst_vis[0], inst.aligned_pos,
+                                mode="fill", fill_value=0.0)
+            vis = segment_sum_contiguous(
+                vis_orig[:, None], inst.seg_start, inst.seg_end)[:, 0]
         return tile_img, vis, inst, packed
 
     def assemble(tile_img, vis, clipped):
@@ -100,12 +113,11 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         tile_img, vis, inst, packed = forward_parts(
             mean, conic, opacity, color, depth_ndc, radius)
         out = assemble(tile_img, vis, inst.clipped)
-        res = (packed, inst.gaussian_id, inst.valid, inst.tile_starts,
-               inst.tile_counts, tile_img, mean.shape[0])
+        res = (packed, inst, tile_img, mean.shape[0])
         return out, res
 
     def f_bwd(res, ct: RasterOut):
-        packed, gid, valid, tile_starts, tile_counts, tile_img, n = res
+        packed, inst, tile_img, n = res
 
         # map image-space cotangents back to tile-major rows [rgb, dT]
         ct_rgb = rasterize_pallas.image_to_tiles(ct.image, grid)          # (T,3,P)
@@ -113,10 +125,17 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         ct_tile = jnp.concatenate([ct_rgb, ct_T], axis=1)
 
         inst_grad = rasterize_pallas.rasterize_backward(
-            tile_starts, tile_counts, packed, ct_tile, tile_img, grid,
-            image_size, config, interpret=interpret).T  # (M, 16)
-        inst_grad = jnp.where(valid[:, None], inst_grad, 0.0)
-        seg = jax.ops.segment_sum(inst_grad, gid, num_segments=n)
+            inst.tile_starts, inst.tile_counts, packed, ct_tile, tile_img,
+            grid, image_size, config, interpret=interpret).T  # (M, 16)
+        if config.reduce == "segment":
+            inst_grad = jnp.where(inst.valid[:, None], inst_grad, 0.0)
+            seg = jax.ops.segment_sum(inst_grad, inst.gaussian_id,
+                                      num_segments=n)
+        else:
+            grad_orig = jnp.take(inst_grad, inst.aligned_pos, axis=0,
+                                 mode="fill", fill_value=0.0)
+            seg = segment_sum_contiguous(
+                grad_orig, inst.seg_start, inst.seg_end)
 
         d_mean = seg[:, 0:2]
         d_conic = seg[:, 2:5]

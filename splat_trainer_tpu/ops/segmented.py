@@ -1,0 +1,95 @@
+"""Scatter-free segmented reduction over contiguous index ranges.
+
+TPU motivation: `jax.ops.segment_sum` lowers to an XLA scatter-add, which
+TPUs execute poorly for millions of unsorted indices (the per-instance ->
+per-gaussian reductions in the rasterizer backward move ~0.5 GB through a
+serialized scatter). The binning stage (ops/tiling.py) generates instances
+*contiguously per gaussian* in pre-sort order, so after one gather back to
+that order, every gaussian's values occupy a contiguous range [start, end)
+— and a segmented sum becomes prefix-sum differences: pure cumsum + gather,
+no scatter anywhere.
+
+Precision: a single f32 cumsum over ~8M values drifts to magnitudes where
+prefix differences lose the segment (all-positive rows like visibility
+reach ~1e6 while small segments are ~1e-2; eps * |prefix| swamps them).
+Two levels fix it: in-block cumsums are magnitude-bounded by the block
+length (f32 safe), and the across-block prefix runs in compensated
+double-f32 arithmetic (TwoSum; ~2^-48 relative error — f64 itself is
+unavailable on TPU without global x64 mode).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + err == a + b exactly (f32 pair)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _dd_add(x, y):
+    """Double-f32 addition (hi, lo) + (hi, lo) -> (hi, lo)."""
+    hx, lx = x
+    hy, ly = y
+    s, e = _two_sum(hx, hy)
+    e = e + lx + ly
+    hi, lo = _two_sum(s, e)
+    return hi, lo
+
+
+def segment_sum_contiguous(
+    values: jax.Array,      # (M, R) f32 — per-instance rows
+    starts: jax.Array,      # (N,) int32 — segment start in [0, M]
+    ends: jax.Array,        # (N,) int32 — segment end in [0, M], end >= start
+    block: int = 512,
+) -> jax.Array:
+    """Sum `values[starts[i]:ends[i]]` per segment -> (N, R) f32.
+
+    Segments must be non-overlapping contiguous ranges (any order). Indices
+    equal to M address the "total" prefix; empty segments return zeros.
+    """
+    m, r = values.shape
+    block = min(block, m)
+    while m % block:
+        block //= 2
+    nb = m // block
+
+    # in-block inclusive prefix, compensated: a plain f32 cumsum rounds each
+    # prefix to ulp(|prefix|), which swamps segments much smaller than their
+    # in-block neighbors (e.g. visibility ~1e-2 after a ~1e4 prefix)
+    vb = values.reshape(nb, block, r)
+    cin_hi, cin_lo = lax.associative_scan(
+        _dd_add, (vb, jnp.zeros_like(vb)), axis=1)
+    # exclusive = inclusive - element (dd)
+    cex_hi, cex_lo = _dd_add((cin_hi, cin_lo), (-vb, jnp.zeros_like(vb)))
+    cex_hi = cex_hi.reshape(m, r)
+    cex_lo = cex_lo.reshape(m, r)
+    bsum_hi = cin_hi[:, -1, :]                         # (nb, R) block sums
+    bsum_lo = cin_lo[:, -1, :]
+
+    # across-block exclusive prefix, also compensated
+    hi, lo = lax.associative_scan(_dd_add, (bsum_hi, bsum_lo), axis=0)
+    zero = jnp.zeros((1, r), values.dtype)
+    bpre_hi = jnp.concatenate([zero, hi[:-1]], axis=0)
+    bpre_lo = jnp.concatenate([zero, lo[:-1]], axis=0)
+    total_hi, total_lo = hi[-1], lo[-1]
+
+    def prefix(idx):
+        """P(i) = sum(values[0:i]) for i in [0, M] as a double-f32 pair."""
+        at_end = (idx >= m)[:, None]
+        safe = jnp.minimum(idx, m - 1)
+        b = safe // block
+        base_hi = jnp.where(at_end, total_hi[None, :], bpre_hi[b])
+        base_lo = jnp.where(at_end, total_lo[None, :], bpre_lo[b])
+        inb_hi = jnp.where(at_end, 0.0, cex_hi[safe])
+        inb_lo = jnp.where(at_end, 0.0, cex_lo[safe])
+        return _dd_add((base_hi, base_lo), (inb_hi, inb_lo))
+
+    pe = prefix(ends)
+    ps = prefix(starts)
+    dh, dl = _dd_add(pe, (-ps[0], -ps[1]))
+    return dh + dl

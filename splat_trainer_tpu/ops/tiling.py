@@ -69,6 +69,13 @@ class Instances(NamedTuple):
     tile_counts: jax.Array   # (num_tiles,) int32 — real instances per tile
     total: jax.Array         # scalar int32 — number of valid instances (clipped)
     clipped: jax.Array       # scalar int32 — overflow count (0 if none)
+    # scatter-free reduction support (ops/segmented.py): instances are
+    # generated contiguously per gaussian in PRE-sort order, so per-gaussian
+    # sums of per-instance kernel outputs become gather + prefix-diff:
+    aligned_pos: jax.Array   # (M,) int32 — pre-sort instance -> aligned slot
+    #                          (M = instance was dropped)
+    seg_start: jax.Array     # (N,) int32 — gaussian's pre-sort range start
+    seg_end: jax.Array       # (N,) int32 — gaussian's pre-sort range end
 
 
 def tile_rects(mean: jax.Array, radius: jax.Array, visible: jax.Array, grid: TileGrid):
@@ -86,6 +93,38 @@ def tile_rects(mean: jax.Array, radius: jax.Array, visible: jax.Array, grid: Til
     return (x0, y0, x1, y1), span
 
 
+def ellipse_tile_min_q(tx, ty, mx, my, ca, cb, cc, tile_size: int):
+    """Exact min of the conic quadratic q(d) = a dx^2 + 2 b dx dy + c dy^2
+    over a tile's pixel-center rectangle, d measured from the splat mean.
+
+    Convexity (the conic is PD) makes the rect min exact & cheap: zero when
+    the mean lies inside the rect, else the min over the four edges, each a
+    1D quadratic minimized in closed form and clamped to the edge segment.
+    """
+    ts = float(tile_size)
+    x0 = tx * ts + 0.5 - mx
+    x1 = x0 + (ts - 1.0)
+    y0 = ty * ts + 0.5 - my
+    y1 = y0 + (ts - 1.0)
+
+    def q(dx, dy):
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    def edge_x(x):   # fixed dx = x, minimize over dy in [y0, y1]
+        dy = jnp.clip(-cb * x / jnp.maximum(cc, 1e-12), y0, y1)
+        return q(x, dy)
+
+    def edge_y(y):
+        dx = jnp.clip(-cb * y / jnp.maximum(ca, 1e-12), x0, x1)
+        return q(dx, y)
+
+    inside = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+    edge_min = jnp.minimum(
+        jnp.minimum(edge_x(x0), edge_x(x1)),
+        jnp.minimum(edge_y(y0), edge_y(y1)))
+    return jnp.where(inside, 0.0, edge_min)
+
+
 def expand_and_sort(
     mean: jax.Array,
     radius: jax.Array,
@@ -93,16 +132,28 @@ def expand_and_sort(
     depth_ndc: jax.Array,
     config: RasterConfig,
     grid: TileGrid,
+    conic: jax.Array | None = None,
+    opacity: jax.Array | None = None,
 ) -> Instances:
     """Expand gaussians into depth-sorted per-tile instances (static capacity).
 
+    When `conic`/`opacity` are given, every AABB-rect instance additionally
+    passes an EXACT ellipse-vs-tile test (alpha >= alpha_threshold reachable
+    somewhere in the tile — the same predicate the compositing kernel
+    applies per pixel, so culling is lossless). Surviving instances are
+    *compacted* into `config.max_render_instances` slots: the packing
+    gather, the compositing kernels, and the gradient reductions all run at
+    the smaller size, while the AABB expansion/sort runs at
+    `config.max_instances`.
+
     Design choices here are measured on real TPU with the full training
     step as ground truth (micro-benchmarks through the remote-TPU tunnel
-    mislead — see ops/sort.py): the ONE (M, 8) row-gather of per-gaussian
-    fields beats five scalar (M,) gathers by ~25% end-to-end, and
+    mislead — see ops/sort.py): the ONE (M, K) row-gather of per-gaussian
+    fields beats per-field scalar gathers by ~25% end-to-end, and
     `lax.sort_key_val` on the packed (tile, depth) u32 key beats a
     hand-rolled cumsum/scatter radix sort by ~1.8x."""
     M = config.max_instances
+    Mr = config.max_render_instances or M
     (x0, y0, x1, _y1), span = tile_rects(mean, radius, visible, grid)
     span_x = jnp.maximum(x1 - x0, 1)
 
@@ -124,19 +175,29 @@ def expand_and_sort(
     gid = jax.lax.cummax(seg_marks)
 
     # per-instance per-gaussian values from ONE row-gather of a packed
-    # (N, 8) f32 matrix (all values are integers < 2^24, exact in f32)
+    # (N, K) f32 matrix (cols 0-4 are integers < 2^24, exact in f32)
     db = grid.depth_bits
     dq = jnp.minimum(jnp.clip(depth_ndc, 0.0, 1.0) * float((1 << db) - 1),
                      float((1 << db) - 1))
-    aux_g = jnp.stack([
+    cols = [
         offsets.astype(jnp.float32),
         span_x.astype(jnp.float32),
         x0.astype(jnp.float32),
         y0.astype(jnp.float32),
         dq,
-        jnp.zeros_like(dq), jnp.zeros_like(dq), jnp.zeros_like(dq),
-    ], axis=-1)                                      # (N, 8)
-    aux = aux_g[gid]                                 # (M, 8) one row-gather
+    ]
+    do_cull = conic is not None and opacity is not None
+    if do_cull:
+        # q threshold: alpha = op * exp(-q/2) >= alpha_threshold
+        qmax = 2.0 * jnp.log(
+            jnp.maximum(opacity / config.alpha_threshold, 1e-12))
+        cols += [mean[:, 0], mean[:, 1],
+                 conic[:, 0], conic[:, 1], conic[:, 2], qmax,
+                 jnp.zeros_like(dq)]
+    else:
+        cols += [jnp.zeros_like(dq)] * 3
+    aux_g = jnp.stack(cols, axis=-1)                 # (N, 8 or 12)
+    aux = aux_g[gid]                                 # one row-gather
     offs_f, sx_f = aux[:, 0], aux[:, 1]
     x0_f, y0_f, dq_i = aux[:, 2], aux[:, 3], aux[:, 4]
 
@@ -149,13 +210,36 @@ def expand_and_sort(
     ry = jnp.where(rx < 0, ry - 1, jnp.where(rx >= sx_f, ry + 1, ry))
     rx = r - ry * sx_f
 
+    keep_inst = valid
+    if do_cull:
+        min_q = ellipse_tile_min_q(
+            x0_f + rx, y0_f + ry, aux[:, 5], aux[:, 6],
+            aux[:, 7], aux[:, 8], aux[:, 9], grid.tile_size)
+        keep_inst = valid & (min_q <= aux[:, 10])
+
+    # compacted pre-sort renumbering (reduction support): cull survivors
+    # keep their relative pre-sort order under a dense renumbering, so
+    # per-gaussian ranges REMAIN contiguous in the compacted space and the
+    # reduction arrays shrink from M to Mr. Survivors beyond Mr are dropped
+    # from the RENDER stream too (not just the reduction space) — rendering
+    # an instance that has no gradient slot would silently lose its
+    # backward contribution.
+    pass_incl = jnp.cumsum(keep_inst.astype(jnp.int32))   # (M,) inclusive
+    keep_inst = keep_inst & (pass_incl <= Mr)
+    cpos = jnp.where(keep_inst, pass_incl - 1, Mr)        # pre-sort -> compact
+    n_pass = pass_incl[-1]   # pre-cap survivor count (cap overflow = clipped)
+
     # tile id and depth bits in exact f32, packed into the u32 sort key
     tile_f = (y0_f + ry) * grid.ntx + (x0_f + rx)
     key = (tile_f.astype(jnp.uint32) << db) | dq_i.astype(jnp.uint32)
     invalid_key = jnp.uint32(grid.num_tiles) << db
-    key = jnp.where(valid, key, invalid_key)
+    key = jnp.where(keep_inst, key, invalid_key)
 
-    sorted_key, sorted_gid = jax.lax.sort_key_val(key, gid)
+    # carry the pre-sort instance index as the payload; gid follows by one
+    # (M,) gather. The index is what lets the backward reduce per-instance
+    # outputs WITHOUT a scatter-add (see Instances docstring).
+    sorted_key, sorted_oid = jax.lax.sort_key_val(key, inst)
+    sorted_gid = gid[sorted_oid]
 
     # per-tile instance ranges via boundary search
     boundaries = (jnp.arange(grid.num_tiles + 1, dtype=jnp.uint32) << db)
@@ -164,32 +248,46 @@ def expand_and_sort(
     sorted_tile = (sorted_key >> db).astype(jnp.int32)
     sorted_valid = sorted_tile < grid.num_tiles
 
-    # --- chunk-align the layout (see Instances docstring) ------------------
+    # --- chunk-align into the RENDER capacity Mr ---------------------------
     # Re-place each tile's run at a chunk_size-aligned start; slots that the
-    # padding pushes past capacity M are dropped and counted. M must itself
-    # be a chunk multiple so output slabs stay in-bounds.
+    # padding pushes past capacity Mr are dropped and counted. Mr must be a
+    # chunk multiple so output slabs stay in-bounds.
     k = config.chunk_size
-    if M % k != 0:
-        raise ValueError(f"max_instances ({M}) must be a multiple of "
-                         f"chunk_size ({k})")
+    if M % k != 0 or Mr % k != 0:
+        raise ValueError(f"max_instances ({M}) and max_render_instances "
+                         f"({Mr}) must be multiples of chunk_size ({k})")
     counts = tile_starts[1:] - tile_starts[:-1]                  # (T,)
     aligned_starts = jnp.minimum(
         jnp.concatenate([jnp.zeros((1,), jnp.int32),
                          jnp.cumsum(-(-counts // k) * k, dtype=jnp.int32)]),
-        M)                                                       # (T+1,) K-aligned
-    aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, M
+        Mr)                                                      # (T+1,) K-aligned
+    aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, Mr
                                  ) - aligned_starts[:-1]         # (T,)
 
     t_of_i = jnp.minimum(sorted_tile, grid.num_tiles - 1)
     rank = inst - tile_starts[t_of_i]
     new_pos = aligned_starts[t_of_i] + rank
     keep = sorted_valid & (rank < aligned_counts[t_of_i])
-    pos = jnp.where(keep, new_pos, M)                            # M = dropped
-    gaussian_id = jnp.zeros((M,), jnp.int32).at[pos].set(sorted_gid, mode="drop")
-    tile_id = jnp.full((M,), grid.num_tiles, jnp.int32).at[pos].set(
+    pos = jnp.where(keep, new_pos, Mr)                           # Mr = dropped
+    gaussian_id = jnp.zeros((Mr,), jnp.int32).at[pos].set(sorted_gid, mode="drop")
+    tile_id = jnp.full((Mr,), grid.num_tiles, jnp.int32).at[pos].set(
         sorted_tile, mode="drop")
-    valid_p = jnp.zeros((M,), bool).at[pos].set(True, mode="drop")
+    valid_p = jnp.zeros((Mr,), bool).at[pos].set(True, mode="drop")
     kept = jnp.sum(keep).astype(jnp.int32)
+
+    # per-gaussian [start, end) in compacted space: exclusive pass-prefix
+    # evaluated at the gaussian's pre-sort segment bounds
+    pass_excl = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), pass_incl])     # (M+1,)
+    seg_start = jnp.minimum(pass_excl[jnp.minimum(offsets, M)], Mr)
+    seg_end = jnp.minimum(pass_excl[jnp.minimum(offsets + span, M)], Mr)
+
+    # invert the (sort o realign) permutation: compacted instance c sits at
+    # aligned slot aligned_pos[c] (>= Mr if dropped). One int32 scatter-set
+    # with unique in-range indices — 16x lighter than the (Mr, 16) f32
+    # scatter-ADD a segment_sum of the backward's gradients would need.
+    aligned_pos = jnp.full((Mr,), Mr, jnp.int32).at[cpos[sorted_oid]].set(
+        pos, mode="drop")
 
     return Instances(
         gaussian_id=gaussian_id,
@@ -198,5 +296,8 @@ def expand_and_sort(
         tile_starts=aligned_starts,
         tile_counts=aligned_counts,
         total=kept,
-        clipped=clipped + (total - kept),
+        clipped=clipped + (n_pass - kept),
+        aligned_pos=aligned_pos,
+        seg_start=seg_start,
+        seg_end=seg_end,
     )

@@ -461,6 +461,11 @@ class Trainer:
         hyper = make_hyper(self.config.scene, self.config, self.progress.t)
         self.scene, self.pstate, metrics = self._train_step(
             self.scene, self.pstate, batch, hyper, self._next_key())
+        # keep the device-side metrics of EVERY step (no host sync here):
+        # the densify overflow guard reads clipped_instances from it lazily,
+        # so the guard never sees a stale value when the log cadence and the
+        # densify interval misalign
+        self._last_metrics = metrics
         if self.is_logging_step:
             self._log_step_metrics(metrics)
         self.logger.step(self.progress)
@@ -477,7 +482,6 @@ class Trainer:
         self.logger.log_values("train/metrics", dict(
             l1=float(m.l1), mse=float(m.mse), ssim=float(m.ssim), psnr=psnr))
         clipped = int(m.clipped_instances)
-        self._last_clipped = clipped  # feeds the controller's overflow guard
         if clipped > 0:
             self.logger.log_value("train/clipped_instances", clipped)
 
@@ -515,9 +519,13 @@ class Trainer:
         if isinstance(cfg, TargetConfig):
             if ctl.should_densify(self.progress):
                 # instance-overflow guard: cap/back off the count target when
-                # the rasterizer reports dropped instances (static budget)
-                ctl.note_clipping(getattr(self, "_last_clipped", 0),
-                                  self.config.max_instances, self.progress)
+                # the rasterizer reports dropped instances (static budget).
+                # Read from the latest step's device metrics — synced here,
+                # at densify cadence, not in the hot loop.
+                last = getattr(self, "_last_metrics", None)
+                clipped = int(last.clipped_instances) if last is not None else 0
+                ctl.note_clipping(clipped, self.config.max_instances,
+                                  self.progress)
                 args = ctl.densify_args(self.progress)
                 self.scene, self.pstate, metrics = self._densify.densify(
                     self.scene, self.pstate, self._next_key(),

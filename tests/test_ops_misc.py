@@ -96,3 +96,34 @@ def test_straight_through():
     g = jax.grad(lambda x: clamp_st(x).sum())(x)
     np.testing.assert_allclose(g, 1.0)  # identity gradient
     np.testing.assert_allclose(round_st(x), [2.0, -0.0])
+
+
+def test_segment_sum_contiguous_matches_segment_sum():
+    from splat_trainer_tpu.ops.segmented import segment_sum_contiguous
+    key = jax.random.PRNGKey(0)
+    m, n, r = 4096, 37, 5
+    # random contiguous partition of [0, m) into n segments (some empty)
+    cuts = np.sort(np.asarray(
+        jax.random.randint(jax.random.fold_in(key, 1), (n - 1,), 0, m)))
+    starts = jnp.asarray(np.concatenate([[0], cuts]), jnp.int32)
+    ends = jnp.asarray(np.concatenate([cuts, [m]]), jnp.int32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (m, r))
+
+    got = segment_sum_contiguous(v, starts, ends)
+    sid = np.repeat(np.arange(n), np.asarray(ends - starts))
+    want = jax.ops.segment_sum(v, jnp.asarray(sid), num_segments=n)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_segment_sum_contiguous_precision_under_large_prefix():
+    """Small positive segments must survive a huge all-positive prefix (the
+    visibility reduction case: totals ~1e6, segments ~1e-2)."""
+    from splat_trainer_tpu.ops.segmented import segment_sum_contiguous
+    m = 1 << 16
+    v = jnp.full((m, 1), 37.123, jnp.float32)
+    # one tiny segment deep into the array
+    s, e = m - 700, m - 700 + 3
+    v = v.at[s:e, 0].set(1.25e-3)
+    out = segment_sum_contiguous(
+        v, jnp.asarray([s], jnp.int32), jnp.asarray([e], jnp.int32))
+    np.testing.assert_allclose(out[0, 0], 3 * 1.25e-3, rtol=1e-4)

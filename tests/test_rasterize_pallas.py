@@ -95,3 +95,30 @@ def test_non_tile_aligned_images(image_size):
     np.testing.assert_allclose(rp.image, rd.image, atol=2e-4)
     np.testing.assert_allclose(
         rp.points.visibility, rd.points.visibility, atol=2e-4)
+
+
+def test_compacted_render_capacity_parity():
+    """max_render_instances < max_instances: ellipse-culled instances are
+    compacted; output must match the dense oracle exactly (the cull is
+    lossless) as long as survivors fit."""
+    g, cam, config = setup(n=150, seed=5)
+    config.update(max_instances=2048, max_render_instances=512)
+    rd = render_with("dense", g, cam, dict(tile_size=16, max_instances=2048,
+                                           chunk_size=16))
+    rp = render_with("pallas", g, cam, config)
+    assert int(rp.clipped_instances) == 0, "survivors must fit in 512"
+    np.testing.assert_allclose(rp.image, rd.image, atol=2e-4)
+    np.testing.assert_allclose(
+        rp.points.visibility, rd.points.visibility, atol=2e-4)
+
+
+def test_compacted_backward_parity():
+    g, cam, config = setup(n=120, seed=3)
+    gd = loss_and_grads("dense", g, cam, config)
+    config.update(max_instances=2048, max_render_instances=512)
+    gp = loss_and_grads("pallas", g, cam, config)
+    names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
+    for name, a, b in zip(names, gd, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, err_msg=name)
