@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/jaxtrace")
     ap.add_argument("--max-instances", type=int, default=0,
                     help="override raster max_instances (0 = config value)")
+    ap.add_argument("--max-render", type=int, default=0,
+                    help="override raster max_render_instances")
+    ap.add_argument("--occupancy", action="store_true",
+                    help="print post-cull instance counts and exit")
     args = ap.parse_args()
 
     import jax
@@ -39,9 +43,13 @@ def main():
     )
 
     scene, cfg, camera_table = bench.load_checkpoint_scene()
+    import dataclasses
+
     rcfg = cfg.raster_config()
     if args.max_instances:
-        rcfg = rcfg.replace(max_instances=args.max_instances)
+        rcfg = dataclasses.replace(rcfg, max_instances=args.max_instances)
+    if args.max_render:
+        rcfg = dataclasses.replace(rcfg, max_render_instances=args.max_render)
     pstate = PointState.new_zeros(scene.capacity)
     w, h = camera_table.image_size
 
@@ -58,6 +66,31 @@ def main():
             projection=cams.intrinsics[i][None],
             near=cams.depth_range[i, 0][None],
             far=cams.depth_range[i, 1][None]))
+
+    if args.occupancy:
+        from splat_trainer_tpu.core.types import CameraParams
+        from splat_trainer_tpu.ops import tiling
+        from splat_trainer_tpu.ops.projection import ndc_depth, project_to_image
+
+        def occ(batch):
+            cam = CameraParams(
+                T_camera_world=batch.T_camera_world[0],
+                projection=batch.projection[0], near_plane=batch.near[0],
+                far_plane=batch.far[0], image_size=(w, h))
+            g2d = project_to_image(scene.gaussians(), cam, rcfg,
+                                   active=scene.active)
+            grid = tiling.make_tile_grid((w, h), rcfg.tile_size)
+            inst = tiling.expand_and_sort(
+                g2d.mean, jnp.where(g2d.visible, g2d.radius, 0.0),
+                g2d.visible, ndc_depth(g2d.depth, cam.near_plane, cam.far_plane),
+                rcfg, grid, conic=g2d.conic, opacity=g2d.opacity)
+            return g2d.visible.sum(), inst.valid.sum(), inst.clipped
+        occ_jit = jax.jit(occ)
+        for i in range(4):
+            nv, ni, nc = occ_jit(batches[i])
+            print(f"# cam {i}: visible {int(nv)}, post-cull instances "
+                  f"{int(ni)}, clipped {int(nc)}")
+        return
 
     hyper = make_hyper(cfg.scene, cfg, 0.5)
     step = jax.jit(functools.partial(

@@ -235,23 +235,29 @@ def expand_and_sort(
     invalid_key = jnp.uint32(grid.num_tiles) << db
     key = jnp.where(keep_inst, key, invalid_key)
 
-    # carry the pre-sort instance index as the payload; gid follows by one
-    # (M,) gather. The index is what lets the backward reduce per-instance
-    # outputs WITHOUT a scatter-add (see Instances docstring).
-    sorted_key, sorted_oid = jax.lax.sort_key_val(key, inst)
-    sorted_gid = gid[sorted_oid]
+    # One 3-operand sort carries both downstream permutations as payloads
+    # (gid for packing, cpos for the reduction inverse) — post-sort (M,)
+    # gathers cost ~8 ns/element on TPU, payload lanes in the sort are far
+    # cheaper.
+    sorted_key, sorted_gid, sorted_cpos = jax.lax.sort(
+        (key, gid, cpos), num_keys=1)
+    sorted_tile = (sorted_key >> db).astype(jnp.int32)
+    sorted_valid = sorted_tile < grid.num_tiles
 
-    # per-tile instance ranges via boundary search
+    # per-tile instance ranges via boundary search (tiny: T+1 queries)
     boundaries = (jnp.arange(grid.num_tiles + 1, dtype=jnp.uint32) << db)
     tile_starts = jnp.searchsorted(sorted_key, boundaries,
                                    side="left").astype(jnp.int32)
-    sorted_tile = (sorted_key >> db).astype(jnp.int32)
-    sorted_valid = sorted_tile < grid.num_tiles
 
     # --- chunk-align into the RENDER capacity Mr ---------------------------
     # Re-place each tile's run at a chunk_size-aligned start; slots that the
     # padding pushes past capacity Mr are dropped and counted. Mr must be a
     # chunk multiple so output slabs stay in-bounds.
+    #
+    # GATHER-FREE: every per-instance quantity below comes from scans
+    # (cummax/cumsum, ~3 ms at 2^23) instead of (M,)-sized table gathers
+    # (~70 ms each at 2^23, measured): aligned position = own index plus the
+    # accumulated padding of all previous tile runs.
     k = config.chunk_size
     if M % k != 0 or Mr % k != 0:
         raise ValueError(f"max_instances ({M}) and max_render_instances "
@@ -264,16 +270,39 @@ def expand_and_sort(
     aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, Mr
                                  ) - aligned_starts[:-1]         # (T,)
 
-    t_of_i = jnp.minimum(sorted_tile, grid.num_tiles - 1)
-    rank = inst - tile_starts[t_of_i]
-    new_pos = aligned_starts[t_of_i] + rank
-    keep = sorted_valid & (rank < aligned_counts[t_of_i])
+    prev_tile = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), sorted_tile[:-1]])
+    is_start = sorted_tile != prev_tile
+    run_start = jax.lax.cummax(jnp.where(is_start, inst, 0))
+    prev_run_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), run_start[:-1]])
+    # at a run boundary, the padding appended after the PREVIOUS run
+    pad_prev = (-(inst - prev_run_start)) % k
+    pad_inc = jnp.where(is_start & (inst > 0), pad_prev, 0)
+    new_pos = inst + jnp.cumsum(pad_inc)
+    keep = sorted_valid & (new_pos < Mr)
     pos = jnp.where(keep, new_pos, Mr)                           # Mr = dropped
-    gaussian_id = jnp.zeros((Mr,), jnp.int32).at[pos].set(sorted_gid, mode="drop")
-    tile_id = jnp.full((Mr,), grid.num_tiles, jnp.int32).at[pos].set(
-        sorted_tile, mode="drop")
-    valid_p = jnp.zeros((Mr,), bool).at[pos].set(True, mode="drop")
     kept = jnp.sum(keep).astype(jnp.int32)
+
+    # aligned-order gaussian ids: the one remaining real (Mr,) scatter
+    # (indices are monotonic in-bounds-or-dropped)
+    gaussian_id = jnp.zeros((Mr,), jnp.int32).at[pos].set(
+        sorted_gid, mode="drop")
+
+    # slot validity + tile ids via tiny (T,) scatters at run starts plus a
+    # cummax fill — no per-slot table gathers
+    astart = aligned_starts[:-1]
+    nonempty = aligned_counts > 0
+    mark_idx = jnp.where(nonempty, astart, Mr)
+    slot = jnp.arange(Mr, dtype=jnp.int32)
+    run_end_slot = jax.lax.cummax(
+        jnp.zeros((Mr,), jnp.int32).at[mark_idx].max(
+            astart + aligned_counts, mode="drop"))
+    valid_p = slot < run_end_slot
+    tile_fill = jax.lax.cummax(
+        jnp.zeros((Mr,), jnp.int32).at[mark_idx].max(
+            jnp.arange(grid.num_tiles, dtype=jnp.int32), mode="drop"))
+    tile_id = jnp.where(valid_p, tile_fill, grid.num_tiles)
 
     # per-gaussian [start, end) in compacted space: exclusive pass-prefix
     # evaluated at the gaussian's pre-sort segment bounds
@@ -283,11 +312,11 @@ def expand_and_sort(
     seg_end = jnp.minimum(pass_excl[jnp.minimum(offsets + span, M)], Mr)
 
     # invert the (sort o realign) permutation: compacted instance c sits at
-    # aligned slot aligned_pos[c] (>= Mr if dropped). One int32 scatter-set
-    # with unique in-range indices — 16x lighter than the (Mr, 16) f32
-    # scatter-ADD a segment_sum of the backward's gradients would need.
-    aligned_pos = jnp.full((Mr,), Mr, jnp.int32).at[cpos[sorted_oid]].set(
-        pos, mode="drop")
+    # aligned slot aligned_pos[c] (>= Mr if dropped). Sorting (cpos, pos)
+    # delivers the inverse directly (an equivalent scatter would be lowered
+    # to a sort by XLA anyway, with worse constants).
+    _, aligned_pos_full = jax.lax.sort_key_val(sorted_cpos, pos)
+    aligned_pos = aligned_pos_full[:Mr]
 
     return Instances(
         gaussian_id=gaussian_id,

@@ -64,6 +64,10 @@ class TrainConfig:
     blur_cov: float = 0.3
     tile_size: int = 16
     max_instances: int = 1 << 21
+    # compacted (post ellipse-cull) instance capacity; None = max_instances.
+    # At garden scale the exact cull passes ~35-50% of AABB instances, so
+    # half of max_instances is a safe default set by the YAML configs.
+    max_render_instances: int | None = None
     chunk_size: int = 128
     raster_backend: str = "auto"
 
@@ -99,6 +103,7 @@ class TrainConfig:
             blur_cov=self.blur_cov,
             antialias=self.antialias,
             max_instances=self.max_instances,
+            max_render_instances=self.max_render_instances,
             chunk_size=self.chunk_size,
             backend=self.raster_backend,
             render_median_depth=render_median_depth,
