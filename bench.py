@@ -169,9 +169,6 @@ def main():
 
     n_active = int(np.asarray(scene.active).sum())
     hyper = make_hyper(scene_config, cfg, 0.5)
-    step = jax.jit(functools.partial(
-        train_step, scene_config=scene_config, raster_config=rcfg,
-        ssim_levels=3), donate_argnums=(0, 1))
 
     def timeit(fn, iters=10, warmup=2):
         out = None
@@ -185,28 +182,32 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     # ---- occupancy statistics (instances per tile, clipping) -------------
-    def binning_stats(batch):
-        cam = CameraParams(
-            T_camera_world=batch.T_camera_world[0],
-            projection=batch.projection[0], near_plane=batch.near[0],
-            far_plane=batch.far[0], image_size=image_size)
-        g2d = project_to_image(scene.gaussians(), cam, rcfg,
-                               active=scene.active)
-        grid = tiling.make_tile_grid(image_size, rcfg.tile_size)
-        inst = tiling.expand_and_sort(
-            g2d.mean, jnp.where(g2d.visible, g2d.radius, 0.0),
-            g2d.visible, ndc_depth(g2d.depth, cam.near_plane, cam.far_plane),
-            rcfg, grid)
-        return g2d, grid, inst
+    def binning_stats_with(cfg_r):
+        def binning_stats(batch):
+            cam = CameraParams(
+                T_camera_world=batch.T_camera_world[0],
+                projection=batch.projection[0], near_plane=batch.near[0],
+                far_plane=batch.far[0], image_size=image_size)
+            g2d = project_to_image(scene.gaussians(), cam, cfg_r,
+                                   active=scene.active)
+            grid = tiling.make_tile_grid(image_size, cfg_r.tile_size)
+            inst = tiling.expand_and_sort(
+                g2d.mean, jnp.where(g2d.visible, g2d.radius, 0.0),
+                g2d.visible,
+                ndc_depth(g2d.depth, cam.near_plane, cam.far_plane),
+                cfg_r, grid, conic=g2d.conic, opacity=g2d.opacity)
+            return g2d, grid, inst
+        return binning_stats
 
-    binning_jit = jax.jit(binning_stats)   # ONE wrapper: re-wrapping per call
-    # would re-trace each invocation and contaminate the phase timing with
-    # host tracing time
+    binning_jit = jax.jit(binning_stats_with(rcfg))  # ONE wrapper per config:
+    # re-wrapping per call would re-trace each invocation and contaminate
+    # the phase timing with host tracing time
     g2d, grid, inst = binning_jit(batches[0])
     counts = np.asarray(inst.tile_counts)
     occ = {
         "visible_points": int(np.asarray(g2d.visible).sum()),
         "instances": int(np.asarray(inst.valid).sum()),
+        "aabb_demand": int(np.asarray(inst.demand)),
         "clipped_instances": int(np.asarray(inst.clipped)),
         "tiles": int(counts.size),
         "inst_per_tile_p50": float(np.percentile(counts, 50)),
@@ -215,7 +216,42 @@ def main():
     }
     print("# occupancy:", json.dumps(occ))
 
-    # ---- per-phase timings ------------------------------------------------
+    # ---- demand-bucketed capacities (the trainer's steady-state behavior:
+    # Trainer._update_bucket resizes the jitted step the same way) ----------
+    import dataclasses
+
+    demand = max(int(np.asarray(binning_jit(b)[2].demand)) for b in batches)
+    instances = max(int(np.asarray(binning_jit(b)[2].valid.sum()))
+                    for b in batches)
+
+    def ladder_fit(need, ceiling, k=rcfg.chunk_size):
+        v = max(k * 64, 1 << 13)
+        vals = {ceiling}
+        while v < ceiling:
+            if v % k == 0:
+                vals.add(v)
+            if (v * 3 // 2) < ceiling and (v * 3 // 2) % k == 0:
+                vals.add(v * 3 // 2)
+            v *= 2
+        for c in sorted(vals):
+            if c >= need:
+                return c
+        return ceiling
+
+    m_bucket = ladder_fit(int(demand * 1.3), rcfg.max_instances)
+    mr_bucket = min(ladder_fit(int(instances * 1.3), rcfg.max_instances),
+                    m_bucket)
+    rcfg = dataclasses.replace(rcfg, max_instances=m_bucket,
+                               max_render_instances=mr_bucket)
+    print(f"# bucketed capacities: max_instances={m_bucket} "
+          f"max_render_instances={mr_bucket} "
+          f"(demand {demand}, post-cull {instances})")
+
+    # ---- per-phase timings (all at the bucketed capacities) ---------------
+    step = jax.jit(functools.partial(
+        train_step, scene_config=scene_config, raster_config=rcfg,
+        ssim_levels=3), donate_argnums=(0, 1))
+    binning_bucketed = jax.jit(binning_stats_with(rcfg))
     grad_fn = jax.jit(functools.partial(
         batch_gradients, scene_config=scene_config, raster_config=rcfg,
         ssim_levels=3))
@@ -236,7 +272,7 @@ def main():
 
     phases = {}
     phases["project_bin"] = timeit(
-        lambda: binning_jit(batches[0])[2].tile_starts)
+        lambda: binning_bucketed(batches[0])[2].tile_starts)
     phases["render_fwd"] = timeit(lambda: render_jit(batches[0]))
     phases["ssim_fwd_bwd"] = timeit(lambda: ssim_grad(img_a))
     phases["grads_fwd_bwd"] = timeit(lambda: grad_fn(scene, batches[0], hyper).heur)

@@ -50,6 +50,17 @@ class TargetConfig:
     # `clip_backoff` per densify while overflow persists.
     clip_tolerance: float = 1e-3
     clip_backoff: float = 0.95
+    # periodic opacity resets (canonical 3DGS floater control; BASELINE
+    # config[2] names them as part of the garden recipe — neither the
+    # reference's controllers nor round 1 implemented them): every
+    # `opacity_reset_interval` steps clamp all active alpha to
+    # `opacity_reset_alpha` and zero the opacity optimizer moments, so
+    # accumulated floaters must re-earn their opacity. 0 = disabled.
+    # Resets stop at `opacity_reset_stop_t` so the final refinement phase
+    # converges undisturbed.
+    opacity_reset_interval: int = 0
+    opacity_reset_alpha: float = 0.01
+    opacity_reset_stop_t: float = 0.75
 
     def make_controller(self, start_points: int, target_points: int,
                         progress: Progress) -> "TargetController":
@@ -113,6 +124,31 @@ def densify_device(
     return scene, pstate, metrics
 
 
+def opacity_reset_device(
+    scene: SceneState,
+    *,
+    reset_alpha: float,
+) -> Tuple[SceneState, jax.Array]:
+    """Clamp every active point's opacity to `reset_alpha` and zero the
+    opacity optimizer moments (canonical 3DGS reset_opacity). Returns the
+    updated scene and the number of points actually clamped. Other
+    parameters' moments are untouched — only opacity must re-converge."""
+    logit = math.log(reset_alpha) - math.log1p(-reset_alpha)
+    al = scene.points["alpha_logit"]
+    clamped = (al[:, 0] > logit) & scene.active
+    new_al = jnp.where(scene.active[:, None], jnp.minimum(al, logit), al)
+
+    opt = scene.point_opt
+    zero_alpha = lambda d: {
+        k: (jnp.zeros_like(v) if k == "alpha_logit" else v)
+        for k, v in d.items()}
+    opt = opt.replace(mu=zero_alpha(opt.mu), nu=zero_alpha(opt.nu))
+
+    points = dict(scene.points)
+    points["alpha_logit"] = new_al
+    return scene.replace(points=points, point_opt=opt), clamped.sum()
+
+
 class TargetController:
     """Host-side schedule bookkeeping (when to densify + target counts)."""
 
@@ -123,6 +159,9 @@ class TargetController:
         self.max_points = target_points
         self.next_densify = self.find_next_densify(progress)
         self.target_cap = None    # set by the instance-overflow guard
+        self.next_opacity_reset = (
+            progress.step + config.opacity_reset_interval
+            if config.opacity_reset_interval else None)
 
     def find_next_densify(self, progress: Progress):
         interval = int(eval_varying(self.config.densify_prune_interval, progress.t))
@@ -155,6 +194,16 @@ class TargetController:
     def should_densify(self, progress: Progress) -> bool:
         return self.next_densify is not None and progress.step >= self.next_densify
 
+    def should_reset_opacity(self, progress: Progress) -> bool:
+        if (self.next_opacity_reset is None
+                or progress.step < self.next_opacity_reset):
+            return False
+        interval = self.config.opacity_reset_interval
+        nxt = progress.step + interval
+        stop = self.config.opacity_reset_stop_t * progress.total_steps
+        self.next_opacity_reset = nxt if nxt <= stop else None
+        return True
+
     def densify_args(self, progress: Progress) -> dict:
         """Traced args for densify_device; advances the schedule."""
         self.next_densify = self.find_next_densify(progress)
@@ -163,9 +212,12 @@ class TargetController:
     def state_dict(self) -> dict:
         return dict(start_points=self.start_points,
                     next_densify=self.next_densify,
-                    target_cap=self.target_cap)
+                    target_cap=self.target_cap,
+                    next_opacity_reset=self.next_opacity_reset)
 
     def load_state_dict(self, state: dict):
         self.start_points = state["start_points"]
         self.next_densify = state["next_densify"]
         self.target_cap = state.get("target_cap")
+        self.next_opacity_reset = state.get("next_opacity_reset",
+                                            self.next_opacity_reset)

@@ -226,6 +226,10 @@ class Rendering:
     median_depth_image: Optional[jax.Array] = None  # (H, W) camera z
     # number of (gaussian, tile) instances dropped due to capacity overflow
     clipped_instances: Optional[jax.Array] = None
+    # rendered (post ellipse-cull) instance count and uncapped AABB demand —
+    # the trainer's capacity bucketing feeds on these
+    num_instances: Optional[jax.Array] = None
+    instance_demand: Optional[jax.Array] = None
 
     @property
     def image_size(self):

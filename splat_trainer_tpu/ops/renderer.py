@@ -39,6 +39,8 @@ class RasterOut(NamedTuple):
     median_ndc: jax.Array  # (H, W)
     visibility: jax.Array  # (N,)
     clipped: jax.Array     # scalar int32
+    instances: jax.Array   # scalar int32 — rendered (post-cull) instances
+    demand: jax.Array      # scalar int32 — AABB expansion demand
 
 
 def resolve_backend(config: RasterConfig) -> str:
@@ -95,24 +97,25 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
                 vis_orig[:, None], inst.seg_start, inst.seg_end)[:, 0]
         return tile_img, vis, inst, packed
 
-    def assemble(tile_img, vis, clipped):
+    def assemble(tile_img, vis, inst):
         planes = rasterize_pallas.tiles_to_image(tile_img[:, :5], grid, image_size)
         image = planes[..., 0:3]
         alpha = 1.0 - planes[..., 3]
         median_ndc = jnp.where(alpha >= 0.5, planes[..., 4], 1.0)
-        return RasterOut(image, alpha, median_ndc, vis, clipped)
+        return RasterOut(image, alpha, median_ndc, vis, inst.clipped,
+                         inst.total, inst.demand)
 
     @jax.custom_vjp
     def f(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
         del heur_sink
         tile_img, vis, inst, _ = forward_parts(mean, conic, opacity, color, depth_ndc, radius)
-        return assemble(tile_img, vis, inst.clipped)
+        return assemble(tile_img, vis, inst)
 
     def f_fwd(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
         del heur_sink
         tile_img, vis, inst, packed = forward_parts(
             mean, conic, opacity, color, depth_ndc, radius)
-        out = assemble(tile_img, vis, inst.clipped)
+        out = assemble(tile_img, vis, inst)
         res = (packed, inst, tile_img, mean.shape[0])
         return out, res
 
@@ -174,7 +177,8 @@ def _make_dense_fn(grid: tiling.TileGrid, image_size, config: RasterConfig):
         image, alpha, median_ndc, vis_sorted = rasterize_jnp.dense_forward(
             inputs, image_size, grid, config)
         vis = jnp.zeros_like(vis_sorted).at[order].set(vis_sorted)
-        return RasterOut(image, alpha, median_ndc, vis, jnp.int32(0))
+        zero = jnp.int32(0)
+        return RasterOut(image, alpha, median_ndc, vis, zero, zero, zero)
 
     def f_fwd(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
         out = f(mean, conic, opacity, color, depth_ndc, radius, heur_sink)
@@ -263,6 +267,8 @@ def render_projected(
         median_ndc_image=median_ndc,
         median_depth_image=median_depth,
         clipped_instances=out.clipped,
+        num_instances=out.instances,
+        instance_demand=out.demand,
     )
 
 

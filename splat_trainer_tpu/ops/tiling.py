@@ -69,6 +69,8 @@ class Instances(NamedTuple):
     tile_counts: jax.Array   # (num_tiles,) int32 — real instances per tile
     total: jax.Array         # scalar int32 — number of valid instances (clipped)
     clipped: jax.Array       # scalar int32 — overflow count (0 if none)
+    demand: jax.Array        # scalar int32 — AABB expansion demand (uncapped;
+    #                          drives the trainer's capacity bucketing)
     # scatter-free reduction support (ops/segmented.py): instances are
     # generated contiguously per gaussian in PRE-sort order, so per-gaussian
     # sums of per-instance kernel outputs become gather + prefix-diff:
@@ -326,6 +328,7 @@ def expand_and_sort(
         tile_counts=aligned_counts,
         total=kept,
         clipped=clipped + (n_pass - kept),
+        demand=total_raw.astype(jnp.int32),
         aligned_pos=aligned_pos,
         seg_start=seg_start,
         seg_end=seg_end,

@@ -1,7 +1,7 @@
 from .data_parallel import make_camera_mesh, make_dp_train_step
 from .points_parallel import (
     make_points_mesh, make_pp_train_step, scene_shardings,
-    shard_densify_target,
+    make_pp_densify,
 )
 
 
@@ -34,5 +34,5 @@ def maybe_init_distributed() -> bool:
 
 
 __all__ = ["make_camera_mesh", "make_dp_train_step", "make_points_mesh",
-           "make_pp_train_step", "scene_shardings", "shard_densify_target",
+           "make_pp_train_step", "scene_shardings", "make_pp_densify",
            "maybe_init_distributed"]

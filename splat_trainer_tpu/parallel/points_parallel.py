@@ -26,10 +26,13 @@ per-point statistics are all N/D per chip — memory scales out linearly
 with the mesh. Exchanged payload is 16 f32 per point per step, riding ICI.
 
 Densification under the points axis is *per-shard*: each shard prunes and
-splits inside its own capacity slab against a 1/D share of the global
-target (deterministic, no cross-chip point migration; see
-`shard_densify_target`). The reference has no distributed anything
-(SURVEY.md §2.4) — this design is TPU-native, not a port.
+splits inside its own capacity slab against an occupancy-proportional
+share of the global target (deterministic — per-shard RNG folds in the
+shard index; no cross-chip point migration; see `make_pp_densify`).
+Initial occupancy is balanced by dealing capacity slots round-robin to
+shards (`interleave_permutation` — slot order is semantically free). The
+reference has no distributed anything (SURVEY.md §2.4) — this design is
+TPU-native, not a port.
 
 Composable with camera-DP on a 2D mesh ("cameras", "points"): shard_grads
 here is already written per-shard, so wrapping both axes is a spec change
@@ -89,36 +92,89 @@ def _spec_like(scene: ms.SceneState):
     return jax.tree_util.tree_map(pick, scene)
 
 
-def shard_densify_target(global_target: int, mesh_size: int) -> int:
-    """Per-shard point budget for densification under point sharding."""
-    return -(-global_target // mesh_size)
+def interleave_permutation(cap: int, mesh_size: int) -> np.ndarray:
+    """Capacity-slot permutation that deals slots round-robin to shards.
+
+    Scene init packs active points into the FIRST n slots; block-sharding
+    that layout puts all live points on a few shards. Slot order is
+    semantically free, so dealing old slot i to shard (i % D) balances the
+    initial occupancy. new[k] = old[perm[k]]."""
+    if cap % mesh_size != 0:
+        raise ValueError(f"capacity {cap} % mesh {mesh_size} != 0")
+    return np.arange(cap).reshape(cap // mesh_size, mesh_size).T.reshape(-1)
 
 
-def make_pp_train_step(
-    mesh: Mesh,
-    scene_template: ms.SceneState,
+def permute_capacity(tree, cap: int, perm: np.ndarray):
+    """Apply a slot permutation to every capacity-shaped leaf of a pytree."""
+    idx = jnp.asarray(perm)
+
+    def pick(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return x[idx]
+        return x
+
+    return jax.tree_util.tree_map(pick, tree)
+
+
+def make_pp_densify(mesh: Mesh, scene_template: ms.SceneState,
+                    densify_local, donate: bool = True):
+    """Wrap a per-slab densify function in shard_map: each shard splits/
+    prunes INSIDE its own capacity slab against an occupancy-proportional
+    share of the global target — no full-capacity gather ever materializes
+    (the global-jit fallback made GSPMD replicate capacity-shaped arrays
+    on every chip, defeating the memory scaling PP exists for).
+
+    `densify_local(scene_l, pstate_l, key, t, target_points)` is the
+    single-device densify (controller.target.densify_device partial).
+    Deterministic: per-shard RNG = fold_in(key, shard index); per-shard
+    target = round(global_target * n_local / n_global).
+    """
+    cap = scene_template.capacity
+
+    def local_densify(scene_l, pstate_l, key, t, target_points):
+        my = jax.lax.axis_index(POINTS_AXIS)
+        key_l = jax.random.fold_in(key, my)
+        n_l = scene_l.active.sum()
+        n_g = jnp.maximum(jax.lax.psum(n_l, POINTS_AXIS), 1)
+        target_l = jnp.round(
+            target_points.astype(jnp.float32) * n_l / n_g).astype(jnp.int32)
+        scene_l, pstate_l, metrics = densify_local(
+            scene_l, pstate_l, key_l, t=t, target_points=target_l)
+        metrics = {k: jax.lax.psum(v, POINTS_AXIS)
+                   for k, v in metrics.items()}
+        return scene_l, pstate_l, metrics
+
+    scene_spec = _spec_like(scene_template)
+    pstate_spec = jax.tree_util.tree_map(
+        lambda _: P(POINTS_AXIS), PointState.new_zeros(cap))
+    sharded = shard_map(
+        local_densify, mesh=mesh,
+        in_specs=(scene_spec, pstate_spec, P(), P(), P()),
+        out_specs=(scene_spec, pstate_spec, P()),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+
+
+def make_local_grads(
+    D: int,
     *,
     scene_config: ms.MLPSceneConfig,
     raster_config: RasterConfig,
     image_size: Tuple[int, int],
     ssim_levels: int = 3,
 ):
-    """Build a jitted point-sharded train step.
-
-    Requires batch size B = k * mesh size (each chip composites k cameras
-    per step) and scene capacity divisible by the mesh size. Returns
-    (step_fn, batch_sharding, scene_sharding, pstate_sharding).
-    """
-    D = mesh.size
-    cap = scene_template.capacity
-    if cap % D != 0:
-        raise ValueError(f"capacity {cap} must divide the mesh size {D}")
+    """Per-shard gradient phase of the point-sharded step (the body that
+    runs inside shard_map). `D` is the size of the POINTS mesh axis; the
+    batch argument is the axis-local camera set (the whole batch on a 1D
+    points mesh; one camera-row's slice on a 2D cameras x points mesh —
+    every collective here names POINTS_AXIS only, so the same body serves
+    both)."""
 
     def local_grads(scene_l: ms.SceneState, batch: TrainBatch, hyper: Dict):
         """Runs per-shard inside shard_map; scene_l is the local C/D slab."""
         B = batch.images.shape[0]
         assert B % D == 0, (
-            f"points-parallel needs batch ({B}) % mesh size ({D}) == 0")
+            f"points-parallel needs batch ({B}) % points axis ({D}) == 0")
         k = B // D                     # cameras composited per chip
         cap_l = scene_l.capacity
         my = jax.lax.axis_index(POINTS_AXIS)
@@ -216,6 +272,15 @@ def make_pp_train_step(
                 metrics["clipped"] = (rendering.clipped_instances
                                       if rendering.clipped_instances is not None
                                       else jnp.int32(0))
+                occ_i = (rendering.num_instances
+                         if rendering.num_instances is not None
+                         else jnp.int32(0),
+                         rendering.instance_demand
+                         if rendering.instance_demand is not None
+                         else jnp.int32(0))
+                occupancy = occ_i if metrics_acc is None else (
+                    jnp.maximum(occupancy[0], occ_i[0]),
+                    jnp.maximum(occupancy[1], occ_i[1]))
                 metrics_acc = (metrics if metrics_acc is None
                                else jax.tree_util.tree_map(
                                    lambda a, b: a + b, metrics_acc, metrics))
@@ -225,6 +290,8 @@ def make_pp_train_step(
 
             metrics_acc = jax.tree_util.tree_map(
                 lambda x: x / k, metrics_acc)
+            metrics_acc["num_instances"] = occupancy[0]
+            metrics_acc["instance_demand"] = occupancy[1]
             aux = dict(
                 vis_full=jnp.stack(vis_ks),          # (k, D*cap_l)
                 in_view_full=jnp.stack(in_view_ks),
@@ -277,6 +344,32 @@ def make_pp_train_step(
                           in_view_any=in_view_any, scale_max=scale_max,
                           glo_rows=glo_rows, metrics=metrics)
 
+    return local_grads
+
+
+def make_pp_train_step(
+    mesh: Mesh,
+    scene_template: ms.SceneState,
+    *,
+    scene_config: ms.MLPSceneConfig,
+    raster_config: RasterConfig,
+    image_size: Tuple[int, int],
+    ssim_levels: int = 3,
+):
+    """Build a jitted point-sharded train step.
+
+    Requires batch size B = k * mesh size (each chip composites k cameras
+    per step) and scene capacity divisible by the mesh size. Returns
+    (step_fn, batch_sharding, scene_sharding, pstate_sharding).
+    """
+    D = mesh.size
+    cap = scene_template.capacity
+    if cap % D != 0:
+        raise ValueError(f"capacity {cap} must divide the mesh size {D}")
+    local_grads = make_local_grads(
+        D, scene_config=scene_config, raster_config=raster_config,
+        image_size=image_size, ssim_levels=ssim_levels)
+
     def shard_step(scene_l, pstate_l, batch, hyper):
         bundle = local_grads(scene_l, batch, hyper)
         return apply_updates(scene_l, pstate_l, bundle, hyper, scene_config)
@@ -305,4 +398,93 @@ def make_pp_train_step(
         PointState.new_zeros(cap))
 
     return (jax.jit(pp_train_step, donate_argnums=(0, 1)),
+            batch_sharding, scene_sharding, pstate_sharding)
+
+
+# ---------------------------------------------------------------------------
+# 2D composition: cameras x points (BASELINE.md config 5 — city scale on a
+# pod: memory scales out over the points axis, throughput over the cameras
+# axis)
+# ---------------------------------------------------------------------------
+
+CAMERAS_AXIS = "cameras"
+
+
+def make_2d_mesh(dc: int, dp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < dc * dp:
+        raise ValueError(f"need {dc * dp} devices, have {len(devices)}")
+    grid = np.asarray(devices[:dc * dp]).reshape(dc, dp)
+    return Mesh(grid, (CAMERAS_AXIS, POINTS_AXIS))
+
+
+def make_dp_pp_train_step(
+    mesh: Mesh,
+    scene_template: ms.SceneState,
+    *,
+    scene_config: ms.MLPSceneConfig,
+    raster_config: RasterConfig,
+    image_size: Tuple[int, int],
+    ssim_levels: int = 3,
+):
+    """Train step on a ("cameras", "points") 2D mesh.
+
+    The batch splits over the cameras axis (each camera-row of the mesh
+    handles B/Dc views); within a row, the 1D points-parallel body runs
+    unchanged (its collectives name POINTS_AXIS only). Cross-row: one psum
+    of the GradBundle — point grads and per-point statistics sum over
+    camera rows exactly like camera-DP, so the replicated-over-cameras
+    sharded state stays bitwise in sync through apply_updates.
+    """
+    dc = mesh.shape[CAMERAS_AXIS]
+    dp = mesh.shape[POINTS_AXIS]
+    cap = scene_template.capacity
+    if cap % dp != 0:
+        raise ValueError(f"capacity {cap} % points axis {dp} != 0")
+    local_grads = make_local_grads(
+        dp, scene_config=scene_config, raster_config=raster_config,
+        image_size=image_size, ssim_levels=ssim_levels)
+
+    def shard_step(scene_l, pstate_l, batch_row, hyper):
+        bundle = local_grads(scene_l, batch_row, hyper)
+
+        def csum(x):
+            return jax.lax.psum(x, CAMERAS_AXIS)
+
+        bundle = GradBundle(
+            grads=jax.tree_util.tree_map(csum, bundle.grads),
+            heur=csum(bundle.heur),
+            vis_acc=csum(bundle.vis_acc),
+            in_view_any=csum(bundle.in_view_any.astype(jnp.int32)) > 0,
+            scale_max=jax.lax.pmax(bundle.scale_max, CAMERAS_AXIS),
+            glo_rows=csum(bundle.glo_rows.astype(jnp.int32)) > 0,
+            metrics=jax.tree_util.tree_map(
+                lambda m: csum(m) / dc, bundle.metrics))
+        return apply_updates(scene_l, pstate_l, bundle, hyper, scene_config)
+
+    scene_spec = _spec_like(scene_template)
+    pstate_spec = jax.tree_util.tree_map(
+        lambda _: P(POINTS_AXIS), PointState.new_zeros(cap))
+    batch_spec = jax.tree_util.tree_map(
+        lambda _: P(CAMERAS_AXIS), TrainBatch(
+            images=0, image_idx=0, T_camera_world=0, projection=0,
+            near=0, far=0))
+
+    sharded = shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(scene_spec, pstate_spec, batch_spec, P()),
+        out_specs=(scene_spec, pstate_spec, P()),
+        check_rep=False)
+
+    def step(scene, pstate, batch, hyper, key):
+        del key
+        return sharded(scene, pstate, batch, hyper)
+
+    batch_sharding = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(CAMERAS_AXIS)), batch_spec)
+    scene_sharding = scene_shardings(mesh, scene_template)
+    pstate_sharding = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(POINTS_AXIS)),
+        PointState.new_zeros(cap))
+    return (jax.jit(step, donate_argnums=(0, 1)),
             batch_sharding, scene_sharding, pstate_sharding)

@@ -70,6 +70,11 @@ class TrainConfig:
     max_render_instances: int | None = None
     chunk_size: int = 128
     raster_backend: str = "auto"
+    # re-jit the step at the smallest capacity ladder size fitting measured
+    # instance demand (max_instances stays the ceiling). Binning/sort/
+    # reduction costs scale with the STATIC sizes, so this is a large
+    # steady-state win; each bucket costs one compile.
+    instance_bucketing: bool = True
 
     # capacity headroom over target_points (static allocation)
     capacity_margin: float = 1.05

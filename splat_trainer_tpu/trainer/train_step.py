@@ -55,6 +55,9 @@ class StepMetrics:
     total: jax.Array
     num_visible: jax.Array
     clipped_instances: jax.Array
+    # capacity-bucketing signals (max over the batch's images)
+    num_instances: jax.Array
+    instance_demand: jax.Array
 
 
 def camera_from_batch(batch: TrainBatch, i: int, image_size) -> CameraParams:
@@ -162,6 +165,17 @@ def batch_gradients(
             m["clipped"] = (rendering.clipped_instances
                             if rendering.clipped_instances is not None
                             else jnp.int32(0))
+            # track the batch MAX (not sum) — bucketing sizes for the worst
+            # view; carried outside metrics_acc's mean-reduction
+            m_inst = (rendering.num_instances
+                      if rendering.num_instances is not None else jnp.int32(0))
+            m_dem = (rendering.instance_demand
+                     if rendering.instance_demand is not None else jnp.int32(0))
+            if metrics_acc is None:
+                occupancy = (m_inst, m_dem)
+            else:
+                occupancy = (jnp.maximum(occupancy[0], m_inst),
+                             jnp.maximum(occupancy[1], m_dem))
             metrics_acc = m if metrics_acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, metrics_acc, m)
             aux_renders.append(dict(
@@ -171,6 +185,8 @@ def batch_gradients(
             ))
 
         metrics_acc = jax.tree_util.tree_map(lambda x: x / B, metrics_acc)
+        metrics_acc["num_instances"] = occupancy[0]
+        metrics_acc["instance_demand"] = occupancy[1]
         return total, (vis_acc, metrics_acc, aux_renders)
 
     params = ms.trainable_params(scene)
@@ -226,6 +242,8 @@ def apply_updates(
         psnr=metrics["psnr"], reg=metrics["reg"], total=total,
         num_visible=metrics["num_visible"],
         clipped_instances=metrics["clipped"],
+        num_instances=metrics["num_instances"],
+        instance_demand=metrics["instance_demand"],
     )
     return scene, pstate, step_metrics
 

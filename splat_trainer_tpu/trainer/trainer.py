@@ -94,7 +94,38 @@ class Trainer:
 
         self.mesh = None
         self._batch_sharding = None
-        if config.dp:
+        if config.dp and config.pp:
+            # 2D cameras x points mesh (BASELINE config 5): batch splits
+            # over camera rows, scene shards over the points axis within
+            # each row (replicated across rows)
+            from splat_trainer_tpu.parallel import points_parallel as ppar
+            devices = jax.devices()
+            dc = config.dp_devices or 1
+            dp_ = config.pp_devices or (len(devices) // dc)
+            self.mesh = ppar.make_2d_mesh(dc, dp_, devices)
+            bs = getattr(config.view_selection, "batch_size", 1)
+            if bs % (dc * dp_) != 0:
+                raise ValueError(
+                    f"dp x pp needs batch_size ({bs}) % devices "
+                    f"({dc}x{dp_}) == 0")
+            if scene.capacity % dp_ != 0:
+                raise ValueError(
+                    f"dp x pp needs capacity ({scene.capacity}) % points "
+                    f"axis ({dp_}) == 0")
+            (self._train_step, self._batch_sharding, self._scene_sharding,
+             self._pstate_sharding) = ppar.make_dp_pp_train_step(
+                self.mesh, self.scene,
+                scene_config=config.scene,
+                raster_config=config.raster_config(),
+                image_size=self.camera_table.image_size,
+                ssim_levels=config.ssim_levels)
+            cap = self.scene.capacity
+            perm = ppar.interleave_permutation(cap, dp_)
+            self.scene = ppar.permute_capacity(self.scene, cap, perm)
+            self.pstate = ppar.permute_capacity(self.pstate, cap, perm)
+            self.scene = jax.device_put(self.scene, self._scene_sharding)
+            self.pstate = jax.device_put(self.pstate, self._pstate_sharding)
+        elif config.dp:
             from splat_trainer_tpu.parallel import data_parallel as dpar
             devices = jax.devices()
             if config.dp_devices is not None:
@@ -139,22 +170,24 @@ class Trainer:
                 raster_config=config.raster_config(),
                 image_size=self.camera_table.image_size,
                 ssim_levels=config.ssim_levels)
-            # shard the capacity-shaped state N/D per chip; densify and eval
-            # run under plain jit (GSPMD inserts the gathers they need) and
-            # state is re-pinned to the point sharding afterwards
+            # balance shard occupancy (init packs actives into low slots;
+            # slot order is semantically free), then shard the capacity-
+            # shaped state N/D per chip. Densify runs PER-SHARD inside
+            # shard_map (see _build_controller_fns); eval runs under plain
+            # jit and state is re-pinned to the point sharding afterwards
+            cap = self.scene.capacity
+            perm = ppar.interleave_permutation(cap, self.mesh.size)
+            self.scene = ppar.permute_capacity(self.scene, cap, perm)
+            self.pstate = ppar.permute_capacity(self.pstate, cap, perm)
             self.scene = jax.device_put(self.scene, self._scene_sharding)
             self.pstate = jax.device_put(self.pstate, self._pstate_sharding)
         else:
-            self._train_step = jax.jit(
-                functools.partial(
-                    train_step,
-                    scene_config=config.scene,
-                    raster_config=config.raster_config(),
-                    image_size=self.camera_table.image_size,
-                    ssim_levels=config.ssim_levels,
-                ),
-                donate_argnums=(0, 1),
-            )
+            self._train_step = self._bucketed_train_step
+            self._step_cache = {}
+            rc = config.raster_config()
+            self._bucket = (rc.max_instances,
+                            rc.max_render_instances or rc.max_instances)
+            self._shrink_streak = 0
         self._densify = self._build_controller_fns()
         self._grad_fn = None  # details-mode gradient probe (built lazily)
 
@@ -253,9 +286,28 @@ class Trainer:
                                        self.state_dict())
 
     def update_config(self, **kwargs):
+        """Live config mutation (viewer hook; reference splatview.py:170-187).
+
+        Renderer-affecting keys must invalidate every compiled program that
+        baked the old RasterConfig in statically — otherwise the toggle
+        changes self.config but not the next rendered/trained frame."""
         self.config = replace(self.config, **kwargs)
         if "controller" in kwargs:
             self._densify = self._build_controller_fns()
+        renderer_keys = {"antialias", "blur_cov", "tile_size",
+                         "max_instances", "max_render_instances",
+                         "chunk_size", "raster_backend"}
+        if renderer_keys & set(kwargs):
+            if getattr(self, "_step_cache", None) is not None:
+                self._step_cache = {}
+            self._eval_render = jax.jit(functools.partial(
+                eval_image_device,
+                scene_config=self.config.scene,
+                raster_config=self.config.raster_config(
+                    render_median_depth=True),
+                image_size=self.camera_table.image_size,
+                num_clusters=self._num_clusters,
+            ))
 
     # -- paths / io ----------------------------------------------------------
 
@@ -456,6 +508,90 @@ class Trainer:
                 self.view_clustering, self.progress)
             yield self.make_batch(self.dataset.loader(batch_idx))
 
+    # -- instance-capacity bucketing ----------------------------------------
+    # The binning/sort/reduction pipeline costs scale with the STATIC
+    # instance capacities, not the live instance count, so the single-chip
+    # path re-jits the step at the smallest ladder size that fits the
+    # measured demand (with headroom). Buckets are revisited at logging
+    # cadence (metrics are host-synced there anyway); growth applies
+    # immediately, shrinking needs a persistent streak to avoid recompile
+    # flip-flop. State shapes are identical across buckets, so donated
+    # scene/pstate move between compiled variants freely.
+
+    BUCKET_HEADROOM = 1.3
+    SHRINK_STREAK = 3
+
+    def _capacity_ladder(self):
+        rc = self.config.raster_config()
+        ceiling = rc.max_instances
+        k = rc.chunk_size
+        vals = {ceiling}
+        v = max(k * 64, 1 << 13)
+        while v < ceiling:
+            if v % k == 0:
+                vals.add(v)
+            v32 = v * 3 // 2
+            if v32 < ceiling and v32 % k == 0:
+                vals.add(v32)
+            v *= 2
+        return sorted(vals)
+
+    def _ladder_fit(self, need: int) -> int:
+        for v in self._capacity_ladder():
+            if v >= need:
+                return v
+        return self._capacity_ladder()[-1]
+
+    def _get_step_fn(self, bucket):
+        fn = self._step_cache.get(bucket)
+        if fn is None:
+            m, mr = bucket
+            import dataclasses
+            rc = dataclasses.replace(
+                self.config.raster_config(),
+                max_instances=m, max_render_instances=mr)
+            fn = jax.jit(
+                functools.partial(
+                    train_step,
+                    scene_config=self.config.scene,
+                    raster_config=rc,
+                    image_size=self.camera_table.image_size,
+                    ssim_levels=self.config.ssim_levels,
+                ),
+                donate_argnums=(0, 1),
+            )
+            self._step_cache[bucket] = fn
+        return fn
+
+    def _update_bucket(self, metrics):
+        """Called on logging steps (metrics already host-synced)."""
+        if not self.config.instance_bucketing:
+            return
+        demand = int(metrics.instance_demand)
+        # clipped survivors belong in the Mr sizing (num_instances counts
+        # only the kept ones)
+        instances = (int(metrics.num_instances)
+                     + int(float(metrics.clipped_instances) + 0.999))
+        if demand == 0 and instances == 0:
+            return   # dense backend / no signal
+        want_m = self._ladder_fit(int(demand * self.BUCKET_HEADROOM))
+        want_mr = min(self._ladder_fit(int(instances * self.BUCKET_HEADROOM)),
+                      want_m)
+        cur_m, cur_mr = self._bucket
+        if want_m > cur_m or want_mr > cur_mr or int(metrics.clipped_instances) > 0:
+            self._bucket = (max(want_m, cur_m), max(want_mr, cur_mr))
+            self._shrink_streak = 0
+        elif want_m < cur_m or want_mr < cur_mr:
+            self._shrink_streak += 1
+            if self._shrink_streak >= self.SHRINK_STREAK:
+                self._bucket = (want_m, want_mr)
+                self._shrink_streak = 0
+        else:
+            self._shrink_streak = 0
+
+    def _bucketed_train_step(self, scene, pstate, batch, hyper, key):
+        return self._get_step_fn(self._bucket)(scene, pstate, batch, hyper, key)
+
     def training_step(self, batch: TrainBatch):
         self.step += int(batch.images.shape[0])
         hyper = make_hyper(self.config.scene, self.config, self.progress.t)
@@ -484,6 +620,14 @@ class Trainer:
         clipped = int(m.clipped_instances)
         if clipped > 0:
             self.logger.log_value("train/clipped_instances", clipped)
+        self.logger.log_values("train/occupancy", dict(
+            instances=int(m.num_instances),
+            demand=int(m.instance_demand)))
+        if getattr(self, "_bucket", None) is not None:
+            self._update_bucket(m)
+            self.logger.log_values("train/bucket", dict(
+                max_instances=self._bucket[0],
+                max_render=self._bucket[1]))
 
     def _build_controller_fns(self) -> SimpleNamespace:
         """Jit the controller's device programs ONCE per Trainer.
@@ -494,13 +638,28 @@ class Trainer:
         stay traced arguments so the compiled program is reused.
         """
         cfg = self.config.controller
-        fns = SimpleNamespace(densify=None, noise=None)
+        fns = SimpleNamespace(densify=None, noise=None, opacity_reset=None)
         if isinstance(cfg, TargetConfig):
-            fns.densify = jax.jit(functools.partial(
+            densify_local = functools.partial(
                 densify_device,
                 prune_rate=cfg.prune_rate, min_views=cfg.min_views,
-                max_scale_px=cfg.max_scale_px, min_split_px=cfg.min_split_px,
-            ), donate_argnums=(0, 1))
+                max_scale_px=cfg.max_scale_px, min_split_px=cfg.min_split_px)
+            if self.config.pp:
+                # per-shard densify: no full-capacity gather materializes
+                # (SURVEY.md §2.4(d); VERDICT r1 item 5)
+                from splat_trainer_tpu.parallel import points_parallel as ppar
+                fns.densify = ppar.make_pp_densify(
+                    self.mesh, self.scene, densify_local)
+                fns.densify_pp = True
+            else:
+                fns.densify = jax.jit(densify_local, donate_argnums=(0, 1))
+            if cfg.opacity_reset_interval:
+                from splat_trainer_tpu.controller.target import (
+                    opacity_reset_device,
+                )
+                fns.opacity_reset = jax.jit(functools.partial(
+                    opacity_reset_device,
+                    reset_alpha=cfg.opacity_reset_alpha), donate_argnums=(0,))
         elif isinstance(cfg, MCMCConfig):
             fns.densify = jax.jit(functools.partial(
                 mcmc_prune_split,
@@ -517,6 +676,11 @@ class Trainer:
         cfg = self.config.controller
         ctl = self.controller
         if isinstance(cfg, TargetConfig):
+            if (self._densify.opacity_reset is not None
+                    and ctl.should_reset_opacity(self.progress)):
+                self.scene, n_clamped = self._densify.opacity_reset(self.scene)
+                self.logger.log_value("densify/opacity_reset",
+                                      int(n_clamped))
             if ctl.should_densify(self.progress):
                 # instance-overflow guard: cap/back off the count target when
                 # the rasterizer reports dropped instances (static budget).

@@ -29,6 +29,7 @@ img{width:100vw;height:100vh;object-fit:contain;display:block}
   <label><input type="checkbox" id="depth"> depth</label>
   <label><input type="checkbox" id="pause"> pause training</label>
   <label><input type="checkbox" id="aa"> antialias</label>
+  <label>blur_cov <input type="number" id="blur" min="0" max="2" step="0.1" value="0.3" style="width:4em"></label>
   <label>specular <input type="range" id="spec" min="0" max="2" step="0.1" value="1"></label><br>
   <label>camera <input type="number" id="cam" min="-1" value="-1" style="width:4em"> (-1 = orbit)</label>
   <label>zoom <input type="range" id="zoom" min="0.2" max="5" step="0.1" value="1"></label><br>
@@ -49,6 +50,7 @@ document.onmousemove=e=>{ if(!drag) return;
 document.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001)};
 document.getElementById('pause').onchange=e=>fetch('/pause?on='+(e.target.checked?1:0));
 document.getElementById('aa').onchange=e=>fetch('/config?antialias='+(e.target.checked?1:0));
+document.getElementById('blur').onchange=e=>fetch('/config?blur_cov='+e.target.value);
 async function loop(){
   const depth=document.getElementById('depth').checked?1:0;
   const spec=document.getElementById('spec').value;
@@ -105,9 +107,17 @@ class WebViewer(Viewer):
                         viewer.trainer.set_paused(q.get("on") == "1")
                         self._send(b"ok", "text/plain")
                     elif url.path == "/config":
+                        # live renderer mutation (reference splatview.py:
+                        # 170-187); update_config invalidates the compiled
+                        # render/eval/step programs that baked the old
+                        # RasterConfig
+                        changes = {}
                         if "antialias" in q:
-                            viewer.trainer.update_config(
-                                antialias=q["antialias"] == "1")
+                            changes["antialias"] = q["antialias"] == "1"
+                        if "blur_cov" in q:
+                            changes["blur_cov"] = float(q["blur_cov"])
+                        if changes:
+                            viewer.trainer.update_config(**changes)
                         self._send(b"ok", "text/plain")
                     elif url.path == "/crop":
                         viewer.crop_foreground(float(q.get("quantile", 0.25)))

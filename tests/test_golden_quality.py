@@ -1,0 +1,86 @@
+"""Golden quality-regression guard (VERDICT r1 item 6).
+
+Pins the PSNR trajectory of a small deterministic training run so kernel /
+binning / reduction optimizations cannot silently cost quality. The scene
+is the synthetic dataset (deterministic), dense backend off — this runs
+the PALLAS path in interpret mode, i.e. the exact code the TPU executes —
+with the Target controller (densify + prune + the new opacity reset all
+exercised).
+
+If the recipe legitimately changes, regenerate with:
+    GOLDEN_REGEN=1 python -m pytest tests/test_golden_quality.py -s
+and commit the printed table.
+
+Marked slow: ~3-4 min on CPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from splat_trainer_tpu.controller import TargetConfig
+from splat_trainer_tpu.data.synthetic import SyntheticDataset
+from splat_trainer_tpu.logger import NullLogger
+from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
+from splat_trainer_tpu.trainer.config import TrainConfig
+from splat_trainer_tpu.trainer.init import CloudInitConfig
+from splat_trainer_tpu.trainer.trainer import Trainer
+from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
+
+# regenerate with GOLDEN_REGEN=1 (see module docstring)
+GOLDEN_VAL_PSNR = {
+    100: 18.22,
+    200: 22.26,
+}
+TOLERANCE_DB = 0.4
+
+
+@pytest.mark.slow
+def test_golden_psnr_trajectory(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    os.environ["TQDM_DISABLE"] = "1"
+
+    dataset = SyntheticDataset(num_images=8, image_size=(48, 48),
+                               num_points=200)
+    config = TrainConfig(
+        scene=MLPSceneConfig(point_features=8, image_features=8),
+        controller=TargetConfig(
+            min_views=1, opacity_reset_interval=60,
+            opacity_reset_stop_t=0.6),
+        view_selection=RandomSamplerConfig(batch_size=1),
+        cloud_init=CloudInitConfig(initial_points=256, limit_points=128,
+                                   num_neighbors=3, min_view_overlap=2,
+                                   clamp_near=0.1),
+        total_steps=200,
+        eval_steps=100,
+        log_interval=20,
+        target_points=512,
+        raster_backend="pallas",   # interpret mode on CPU — the TPU path
+        max_instances=1 << 14,
+        chunk_size=16,
+        save_output=False,
+        log_images=False,
+        max_ssim_regression=1.0,
+        seed=0,
+    )
+    trainer = Trainer.initialize(config, dataset, NullLogger())
+    trainer.train()
+
+    got = {}
+    for entry in trainer.evaluation_log:
+        if "val_psnr" in entry:
+            got[entry["step"]] = float(entry["val_psnr"])
+
+    if os.environ.get("GOLDEN_REGEN"):
+        print("\nGOLDEN_VAL_PSNR = {")
+        for step, v in sorted(got.items()):
+            print(f"    {step}: {v:.2f},")
+        print("}")
+        return
+
+    for step, want in GOLDEN_VAL_PSNR.items():
+        assert step in got, f"missing eval at step {step}: {got}"
+        assert abs(got[step] - want) <= TOLERANCE_DB, (
+            f"val PSNR at step {step} drifted: got {got[step]:.2f}, "
+            f"golden {want:.2f} (±{TOLERANCE_DB})")

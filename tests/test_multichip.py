@@ -291,6 +291,17 @@ def test_trainer_pp_path(tmp_path, monkeypatch):
     # the scene really is point-sharded: 1/8 of capacity per device
     pos = trainer.scene.points["position"]
     assert pos.addressable_shards[0].data.shape[0] == trainer.scene.capacity // 8
+
+    # shard-LOCAL densify (VERDICT r1 item 5): interleaved init + occupancy-
+    # proportional targets keep every shard populated, and the controller's
+    # output state is still point-sharded (no replicated capacity-shaped
+    # result from a global-jit densify)
+    active = trainer.scene.active
+    per_shard = [int(np.asarray(s.data).sum())
+                 for s in active.addressable_shards]
+    assert len(per_shard) == 8 and min(per_shard) > 0, per_shard
+    from jax.sharding import PartitionSpec as P
+    assert active.sharding.spec == P("points")
     trainer.close()
 
 
@@ -349,3 +360,48 @@ def test_sharded_giant_render_matches_full(setup):
     # using the slab height instead of clip_size) shows up at 1e-1 scale
     np.testing.assert_allclose(img_sharded, img_full, atol=2e-3)
     assert float(np.abs(img_sharded - img_full).mean()) < 1e-4
+
+
+def test_dp_pp_2d_mesh_matches_single_device(setup):
+    """2D cameras x points mesh (VERDICT r1 item 9): batch split over 2
+    camera rows x points sharded 4-way == single-device step."""
+    from splat_trainer_tpu.parallel.points_parallel import (
+        make_2d_mesh, make_dp_pp_train_step,
+    )
+
+    dataset, config, scene = setup
+    rcfg = RasterConfig(backend="dense", max_instances=1 << 13, chunk_size=16)
+    mesh = make_2d_mesh(2, 4)
+    step2d, batch_sh, scene_sh, pstate_sh = make_dp_pp_train_step(
+        mesh, scene, scene_config=config, raster_config=rcfg,
+        image_size=IMAGE_SIZE, ssim_levels=2)
+
+    batch = make_batch(dataset, np.arange(8))
+    hyper = make_hyper(config, DummyTrainCfg, 0.0)
+
+    scene_sd, pstate_sd, metrics_sd = train_step(
+        jax.tree_util.tree_map(jnp.copy, scene),
+        PointState.new_zeros(scene.capacity), batch, hyper,
+        jax.random.PRNGKey(0), scene_config=config, raster_config=rcfg,
+        image_size=IMAGE_SIZE, ssim_levels=2)
+
+    scene_2d, pstate_2d, metrics_2d = step2d(
+        jax.device_put(jax.tree_util.tree_map(jnp.copy, scene), scene_sh),
+        jax.device_put(PointState.new_zeros(scene.capacity), pstate_sh),
+        jax.device_put(batch, batch_sh), hyper, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        np.asarray(scene_2d.points["position"]),
+        np.asarray(scene_sd.points["position"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(scene_2d.color_params),
+                    jax.tree_util.tree_leaves(scene_sd.color_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(pstate_2d.visibility), np.asarray(pstate_sd.visibility),
+        atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(metrics_2d.psnr), float(metrics_sd.psnr), atol=1e-2)
+    # points sharded 4-way within each camera row: 1/4 capacity per shard,
+    # replicated across the 2 rows
+    shard = scene_2d.points["position"].addressable_shards[0]
+    assert shard.data.shape[0] == scene.capacity // 4

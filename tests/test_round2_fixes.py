@@ -146,3 +146,87 @@ def test_overflow_guard_caps_target():
     ctl2 = cfg.make_controller(1000, 10000, Progress(step=0, total_steps=1000))
     ctl2.load_state_dict(state)
     assert ctl2.target_points(later) == ctl.target_points(later)
+
+
+def test_opacity_reset_device():
+    """Canonical 3DGS opacity reset: active alphas clamp to the reset value,
+    opacity moments zero, other moments untouched (VERDICT r1 item 3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from splat_trainer_tpu.controller.target import opacity_reset_device
+    from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
+    from tests.fixtures import random_gaussians
+
+    g = random_gaussians(jax.random.PRNGKey(0), 64)
+    cfg = MLPSceneConfig()
+    scene = cfg.init_scene(jax.random.PRNGKey(1), g, num_images=4, capacity=96)
+    # give moments some mass
+    mu = {k: v + 1.0 for k, v in scene.point_opt.mu.items()}
+    scene = scene.replace(point_opt=scene.point_opt.replace(mu=mu))
+
+    scene2, n_clamped = opacity_reset_device(scene, reset_alpha=0.01)
+    logit = float(jnp.log(0.01 / 0.99))
+    al = np.asarray(scene2.points["alpha_logit"][:, 0])
+    act = np.asarray(scene2.active)
+    assert (al[act] <= logit + 1e-5).all()
+    assert int(n_clamped) > 0
+    # inactive slots untouched
+    before = np.asarray(scene.points["alpha_logit"][:, 0])
+    np.testing.assert_array_equal(al[~act], before[~act])
+    # opacity moments zeroed, others kept
+    assert float(jnp.abs(scene2.point_opt.mu["alpha_logit"]).max()) == 0.0
+    assert float(jnp.abs(scene2.point_opt.mu["position"]).max()) > 0.0
+
+
+def test_opacity_reset_schedule():
+    from splat_trainer_tpu.config import Progress
+    from splat_trainer_tpu.controller.target import TargetConfig
+
+    cfg = TargetConfig(opacity_reset_interval=300, opacity_reset_stop_t=0.75)
+    ctl = cfg.make_controller(100, 200, Progress(step=0, total_steps=1000))
+    fired = [s for s in range(0, 1000, 50)
+             if ctl.should_reset_opacity(Progress(step=s, total_steps=1000))]
+    assert fired == [300, 600]  # 900 > stop_t * 1000 - interval cutoff
+
+
+def test_update_config_invalidates_compiled_programs(tmp_path, monkeypatch):
+    """Viewer live-mutation hook: renderer-affecting config changes must
+    clear the bucketed step cache and rebuild the compiled eval program
+    (VERDICT r1 item 10)."""
+    import os
+    from splat_trainer_tpu.data.synthetic import SyntheticDataset
+    from splat_trainer_tpu.logger import NullLogger
+    from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
+    from splat_trainer_tpu.trainer.config import TrainConfig
+    from splat_trainer_tpu.trainer.init import CloudInitConfig
+    from splat_trainer_tpu.trainer.trainer import Trainer
+    from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
+
+    monkeypatch.chdir(tmp_path)
+    os.environ["TQDM_DISABLE"] = "1"
+    dataset = SyntheticDataset(num_images=4, image_size=(32, 32),
+                               num_points=50, split_every=4)
+    config = TrainConfig(
+        scene=MLPSceneConfig(point_features=8, image_features=8),
+        view_selection=RandomSamplerConfig(batch_size=1),
+        cloud_init=CloudInitConfig(initial_points=64, limit_points=32,
+                                   num_neighbors=3, min_view_overlap=1,
+                                   clamp_near=0.1),
+        total_steps=10, eval_steps=5, target_points=128,
+        raster_backend="dense", max_instances=1 << 12, chunk_size=16,
+        save_output=False, log_images=False)
+    trainer = Trainer.initialize(config, dataset, NullLogger())
+
+    trainer._step_cache["dummy"] = object()
+    old_eval = trainer._eval_render
+    trainer.update_config(antialias=True, blur_cov=0.5)
+    assert trainer.config.antialias is True
+    assert trainer.config.blur_cov == 0.5
+    assert trainer._step_cache == {}, "stale compiled steps must be dropped"
+    assert trainer._eval_render is not old_eval
+    # non-renderer change keeps caches
+    trainer._step_cache["dummy"] = object()
+    ev = trainer._eval_render
+    trainer.update_config(log_interval=5)
+    assert "dummy" in trainer._step_cache and trainer._eval_render is ev
