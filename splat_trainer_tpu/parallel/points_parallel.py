@@ -152,7 +152,13 @@ def make_pp_densify(mesh: Mesh, scene_template: ms.SceneState,
         in_specs=(scene_spec, pstate_spec, P(), P(), P()),
         out_specs=(scene_spec, pstate_spec, P()),
         check_rep=False)
-    return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+    jitted = jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+
+    def call(scene, pstate, key, t, target_points):
+        # keyword-friendly facade (shard_map's wrapper is positional-only)
+        return jitted(scene, pstate, key, t, target_points)
+
+    return call
 
 
 def make_local_grads(
