@@ -84,6 +84,9 @@ def free_slot_targets(active: jax.Array, source_mask: jax.Array, k: int = 2):
     free_idx = jnp.argsort(~free, stable=True)          # free slots first, by index
     num_free = free.sum()
 
+    # scan operand materialized first: the axon TPU backend miscompiles
+    # prefix scans over fused producer graphs (see ops/tiling._scan_guard)
+    (source_mask,) = jax.lax.optimization_barrier((source_mask,))
     rank = jnp.cumsum(source_mask) - 1                  # rank among split parents
     child_rank = rank[:, None] * k + jnp.arange(k)[None, :]
     ok = source_mask[:, None] & (child_rank < num_free)

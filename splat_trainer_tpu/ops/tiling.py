@@ -52,6 +52,24 @@ def make_tile_grid(image_size: Tuple[int, int], tile_size: int) -> TileGrid:
     return TileGrid(ntx=-(-w // tile_size), nty=-(-h // tile_size), tile_size=tile_size)
 
 
+def _scan_guard(x: jax.Array) -> jax.Array:
+    """Materialize a scan operand before cumsum/cummax.
+
+    The axon TPU backend MISCOMPILES prefix scans whose operand is fused
+    into a rich producer graph: `jnp.cumsum(span)` over ~630k int32 spans
+    returned 5,410,301 where `jnp.sum(span)` of the identical operand in the
+    same jit program returned the true 3,807,249 (measured 2026-08-17; CPU
+    and a context-free chip run both agree with 3,807,249). Wrong offsets
+    corrupt every downstream instance placement. An optimization_barrier on
+    the operand forces it to materialize, which was verified to produce
+    correct results in the failing context (as does associative_scan; plain
+    and f32 cumsum both stay wrong). Every load-bearing scan in the binning
+    pipeline goes through this guard; the cost is one (M,)-shaped
+    materialization, ~0.04 ms at 2^23."""
+    (x,) = jax.lax.optimization_barrier((x,))
+    return x
+
+
 class Instances(NamedTuple):
     """Sorted (gaussian, tile) instance pairs, capacity-shaped (M,).
 
@@ -159,6 +177,7 @@ def expand_and_sort(
     (x0, y0, x1, _y1), span = tile_rects(mean, radius, visible, grid)
     span_x = jnp.maximum(x1 - x0, 1)
 
+    span = _scan_guard(span)
     offsets = jnp.cumsum(span) - span              # exclusive cumsum, (N,)
     total_raw = offsets[-1] + span[-1]
     total = jnp.minimum(total_raw, M).astype(jnp.int32)
@@ -174,7 +193,7 @@ def expand_and_sort(
     starts = jnp.where(span > 0, offsets, M)  # M = dropped by scatter
     seg_marks = jnp.zeros((M,), jnp.int32).at[starts].max(
         jnp.arange(span.shape[0], dtype=jnp.int32), mode="drop")
-    gid = jax.lax.cummax(seg_marks)
+    gid = jax.lax.cummax(_scan_guard(seg_marks))
 
     # per-instance per-gaussian values from ONE row-gather of a packed
     # (N, K) f32 matrix (cols 0-4 are integers < 2^24, exact in f32)
@@ -226,7 +245,7 @@ def expand_and_sort(
     # from the RENDER stream too (not just the reduction space) — rendering
     # an instance that has no gradient slot would silently lose its
     # backward contribution.
-    pass_incl = jnp.cumsum(keep_inst.astype(jnp.int32))   # (M,) inclusive
+    pass_incl = jnp.cumsum(_scan_guard(keep_inst.astype(jnp.int32)))  # (M,) inclusive
     keep_inst = keep_inst & (pass_incl <= Mr)
     cpos = jnp.where(keep_inst, pass_incl - 1, Mr)        # pre-sort -> compact
     n_pass = pass_incl[-1]   # pre-cap survivor count (cap overflow = clipped)
@@ -267,7 +286,8 @@ def expand_and_sort(
     counts = tile_starts[1:] - tile_starts[:-1]                  # (T,)
     aligned_starts = jnp.minimum(
         jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                         jnp.cumsum(-(-counts // k) * k, dtype=jnp.int32)]),
+                         jnp.cumsum(_scan_guard(-(-counts // k) * k),
+                                    dtype=jnp.int32)]),
         Mr)                                                      # (T+1,) K-aligned
     aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, Mr
                                  ) - aligned_starts[:-1]         # (T,)
@@ -275,13 +295,13 @@ def expand_and_sort(
     prev_tile = jnp.concatenate(
         [jnp.full((1,), -1, jnp.int32), sorted_tile[:-1]])
     is_start = sorted_tile != prev_tile
-    run_start = jax.lax.cummax(jnp.where(is_start, inst, 0))
+    run_start = jax.lax.cummax(_scan_guard(jnp.where(is_start, inst, 0)))
     prev_run_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), run_start[:-1]])
     # at a run boundary, the padding appended after the PREVIOUS run
     pad_prev = (-(inst - prev_run_start)) % k
     pad_inc = jnp.where(is_start & (inst > 0), pad_prev, 0)
-    new_pos = inst + jnp.cumsum(pad_inc)
+    new_pos = inst + jnp.cumsum(_scan_guard(pad_inc))
     keep = sorted_valid & (new_pos < Mr)
     pos = jnp.where(keep, new_pos, Mr)                           # Mr = dropped
     kept = jnp.sum(keep).astype(jnp.int32)
@@ -297,13 +317,13 @@ def expand_and_sort(
     nonempty = aligned_counts > 0
     mark_idx = jnp.where(nonempty, astart, Mr)
     slot = jnp.arange(Mr, dtype=jnp.int32)
-    run_end_slot = jax.lax.cummax(
+    run_end_slot = jax.lax.cummax(_scan_guard(
         jnp.zeros((Mr,), jnp.int32).at[mark_idx].max(
-            astart + aligned_counts, mode="drop"))
+            astart + aligned_counts, mode="drop")))
     valid_p = slot < run_end_slot
-    tile_fill = jax.lax.cummax(
+    tile_fill = jax.lax.cummax(_scan_guard(
         jnp.zeros((Mr,), jnp.int32).at[mark_idx].max(
-            jnp.arange(grid.num_tiles, dtype=jnp.int32), mode="drop"))
+            jnp.arange(grid.num_tiles, dtype=jnp.int32), mode="drop")))
     tile_id = jnp.where(valid_p, tile_fill, grid.num_tiles)
 
     # per-gaussian [start, end) in compacted space: exclusive pass-prefix
