@@ -60,6 +60,17 @@ def heuristic_scale(image_size) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _compact_by_gid(lanes, inst, n):
+    """Sort per-aligned-slot value lanes into compact order -> (Ma, C).
+
+    Key = gaussian_id for valid slots, n (past every real id) for padding,
+    so padding sorts past every segment end. Rows [0, total) are exactly
+    the compact pre-sort order (see tiling.Instances docstring)."""
+    key = jnp.where(inst.valid, inst.gaussian_id, n)
+    out = lax.sort((key,) + tuple(lanes), num_keys=1)
+    return jnp.stack(out[1:], axis=-1)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
                     interpret: bool):
@@ -88,13 +99,14 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
                 jnp.where(inst.valid, inst_vis[0], 0.0), inst.gaussian_id,
                 num_segments=n)
         else:
-            # gather each pre-sort instance's value from its aligned slot
-            # (dropped -> fill 0), then prefix-diff over the contiguous
-            # per-gaussian ranges — no scatter-add (ops/segmented.py)
-            vis_orig = jnp.take(inst_vis[0], inst.aligned_pos,
-                                mode="fill", fill_value=0.0)
+            # sort aligned-slot values into compact (per-gaussian
+            # contiguous) order — the rank under a gid sort IS the compact
+            # position (tiling.Instances docstring) — then prefix-diff over
+            # the contiguous ranges; no scatter-add, no random row gathers
+            # (ops/segmented.py).
+            vis_sorted = _compact_by_gid((inst_vis[0],), inst, n)
             vis = segment_sum_contiguous(
-                vis_orig[:, None], inst.seg_start, inst.seg_end)[:, 0]
+                vis_sorted, inst.seg_start, inst.seg_end, abutting=True)[:, 0]
         return tile_img, vis, inst, packed
 
     def assemble(tile_img, vis, inst):
@@ -127,18 +139,23 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         ct_T = rasterize_pallas.image_to_tiles(-ct.alpha[..., None], grid)  # (T,1,P)
         ct_tile = jnp.concatenate([ct_rgb, ct_T], axis=1)
 
-        inst_grad = rasterize_pallas.rasterize_backward(
+        inst_grad_t = rasterize_pallas.rasterize_backward(
             inst.tile_starts, inst.tile_counts, packed, ct_tile, tile_img,
-            grid, image_size, config, interpret=interpret).T  # (M, 16)
+            grid, image_size, config, interpret=interpret)  # (16, Ma)
         if config.reduce == "segment":
-            inst_grad = jnp.where(inst.valid[:, None], inst_grad, 0.0)
+            inst_grad = jnp.where(inst.valid[:, None], inst_grad_t.T, 0.0)
             seg = jax.ops.segment_sum(inst_grad, inst.gaussian_id,
                                       num_segments=n)
         else:
-            grad_orig = jnp.take(inst_grad, inst.aligned_pos, axis=0,
-                                 mode="fill", fill_value=0.0)
+            # (Ma, 16)-row reorder gathers cost ~25 ns/row (each row drags
+            # a full (8,128) HBM tile); payload lanes in one gid-keyed sort
+            # move the same data ~2x cheaper and land directly in compact
+            # order (rank == compact position, tiling.Instances docstring).
+            grad_sorted = _compact_by_gid(
+                tuple(inst_grad_t[i] for i in range(inst_grad_t.shape[0])),
+                inst, n)
             seg = segment_sum_contiguous(
-                grad_orig, inst.seg_start, inst.seg_end)
+                grad_sorted, inst.seg_start, inst.seg_end, abutting=True)
 
         d_mean = seg[:, 0:2]
         d_conic = seg[:, 2:5]

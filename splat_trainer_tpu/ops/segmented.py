@@ -46,11 +46,19 @@ def segment_sum_contiguous(
     starts: jax.Array,      # (N,) int32 — segment start in [0, M]
     ends: jax.Array,        # (N,) int32 — segment end in [0, M], end >= start
     block: int = 512,
+    abutting: bool = False,
 ) -> jax.Array:
     """Sum `values[starts[i]:ends[i]]` per segment -> (N, R) f32.
 
     Segments must be non-overlapping contiguous ranges (any order). Indices
     equal to M address the "total" prefix; empty segments return zeros.
+
+    `abutting=True` asserts the caller's segments tile a prefix of the
+    array back-to-back: starts[0] == 0 and starts[i] == ends[i-1] (the
+    binning pipeline guarantees this — offsets are a cumsum). Then the
+    prefix at each start is the previous segment's end prefix, and the
+    boundary gather shrinks from 2N rows to N (TPU gathers pay ~25 ns per
+    ROW — the dominant cost here — so this halves the reduction's gather).
     """
     m, r = values.shape
     block = min(block, m)
@@ -83,12 +91,18 @@ def segment_sum_contiguous(
     total = jnp.concatenate([hi[-1], lo[-1]])          # (2R,)
 
     n = starts.shape[0]
-    idx = jnp.concatenate([ends, starts])              # (2N,)
+    idx = ends if abutting else jnp.concatenate([ends, starts])
     at_end = (idx >= m)[:, None]
     safe = jnp.minimum(idx, m - 1)
     base = jnp.where(at_end, total[None, :], bpre[safe // block])
     inb = jnp.where(at_end, 0.0, cex[safe])            # ONE big gather
     p_hi, p_lo = _dd_add((base[:, :r], base[:, r:]), (inb[:, :r], inb[:, r:]))
 
-    dh, dl = _dd_add((p_hi[:n], p_lo[:n]), (-p_hi[n:], -p_lo[n:]))
+    if abutting:
+        zero = jnp.zeros((1, r), values.dtype)
+        s_hi = jnp.concatenate([zero, p_hi[:-1]], axis=0)
+        s_lo = jnp.concatenate([zero, p_lo[:-1]], axis=0)
+        dh, dl = _dd_add((p_hi, p_lo), (-s_hi, -s_lo))
+    else:
+        dh, dl = _dd_add((p_hi[:n], p_lo[:n]), (-p_hi[n:], -p_lo[n:]))
     return dh + dl

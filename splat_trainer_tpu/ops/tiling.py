@@ -71,31 +71,42 @@ def _scan_guard(x: jax.Array) -> jax.Array:
 
 
 class Instances(NamedTuple):
-    """Sorted (gaussian, tile) instance pairs, capacity-shaped (M,).
+    """Sorted (gaussian, tile) instance pairs, aligned-capacity-shaped (Ma,).
 
     The layout is **chunk-aligned**: every tile's range begins at a multiple
     of `RasterConfig.chunk_size`, with inert padding slots (valid=False)
     between tiles. Rasterizer chunks are therefore exclusively owned by one
     tile — per-instance output slabs never overlap across tiles, so the
     Pallas grid can execute tiles in parallel (megacore) with pure DMA
-    writes and no boundary read-merge."""
+    writes and no boundary read-merge.
 
-    gaussian_id: jax.Array   # (M,) int32 — gaussian index per sorted instance
-    tile_id: jax.Array       # (M,) int32 — tile index per sorted instance
-    valid: jax.Array         # (M,) bool
+    Ma = Mr + num_tiles * chunk_size covers the worst-case alignment padding
+    (< chunk_size wasted per nonempty tile), so every cull survivor is
+    GUARANTEED an aligned slot. That guarantee is what lets the backward
+    recover the compact (per-gaussian-contiguous) order with a single
+    payload sort keyed on gaussian_id: the rank of each valid slot under a
+    gid sort equals its compact position exactly (both orders enumerate the
+    same survivor set grouped by gaussian, tile-ascending within a
+    gaussian), so `seg_start`/`seg_end` below index the sorted stream
+    directly. Random (Ma, k)-row gathers/scatters cost ~25 ns/row on TPU
+    (each row read drags a full (8,128) tile); sort payload lanes move the
+    same data at ~0.8 ns/element — the sort IS the cheap permutation
+    primitive on this hardware."""
+
+    gaussian_id: jax.Array   # (Ma,) int32 — gaussian index per aligned slot
+    tile_id: jax.Array       # (Ma,) int32 — tile index per aligned slot
+    valid: jax.Array         # (Ma,) bool
     tile_starts: jax.Array   # (num_tiles + 1,) int32 — chunk-aligned range starts
     tile_counts: jax.Array   # (num_tiles,) int32 — real instances per tile
     total: jax.Array         # scalar int32 — number of valid instances (clipped)
     clipped: jax.Array       # scalar int32 — overflow count (0 if none)
     demand: jax.Array        # scalar int32 — AABB expansion demand (uncapped;
     #                          drives the trainer's capacity bucketing)
-    # scatter-free reduction support (ops/segmented.py): instances are
-    # generated contiguously per gaussian in PRE-sort order, so per-gaussian
-    # sums of per-instance kernel outputs become gather + prefix-diff:
-    aligned_pos: jax.Array   # (M,) int32 — pre-sort instance -> aligned slot
-    #                          (M = instance was dropped)
-    seg_start: jax.Array     # (N,) int32 — gaussian's pre-sort range start
-    seg_end: jax.Array       # (N,) int32 — gaussian's pre-sort range end
+    # scatter-free reduction support (ops/segmented.py): sorting the aligned
+    # stream by gaussian_id reproduces the compact pre-sort order, whose
+    # per-gaussian ranges are contiguous:
+    seg_start: jax.Array     # (N,) int32 — gaussian's compact range start
+    seg_end: jax.Array       # (N,) int32 — gaussian's compact range end
 
 
 def tile_rects(mean: jax.Array, radius: jax.Array, visible: jax.Array, grid: TileGrid):
@@ -241,14 +252,14 @@ def expand_and_sort(
     # compacted pre-sort renumbering (reduction support): cull survivors
     # keep their relative pre-sort order under a dense renumbering, so
     # per-gaussian ranges REMAIN contiguous in the compacted space and the
-    # reduction arrays shrink from M to Mr. Survivors beyond Mr are dropped
-    # from the RENDER stream too (not just the reduction space) — rendering
-    # an instance that has no gradient slot would silently lose its
-    # backward contribution.
+    # reduction segments shrink from M to Mr. Survivors beyond Mr are
+    # dropped from the RENDER stream too (not just the reduction space) —
+    # rendering an instance that has no gradient slot would silently lose
+    # its backward contribution.
     pass_incl = jnp.cumsum(_scan_guard(keep_inst.astype(jnp.int32)))  # (M,) inclusive
     keep_inst = keep_inst & (pass_incl <= Mr)
-    cpos = jnp.where(keep_inst, pass_incl - 1, Mr)        # pre-sort -> compact
-    n_pass = pass_incl[-1]   # pre-cap survivor count (cap overflow = clipped)
+    n_pass_raw = pass_incl[-1]                # pre-cap survivor count
+    n_pass = jnp.minimum(n_pass_raw, Mr)      # post-cap survivor count
 
     # tile id and depth bits in exact f32, packed into the u32 sort key
     tile_f = (y0_f + ry) * grid.ntx + (x0_f + rx)
@@ -256,12 +267,10 @@ def expand_and_sort(
     invalid_key = jnp.uint32(grid.num_tiles) << db
     key = jnp.where(keep_inst, key, invalid_key)
 
-    # One 3-operand sort carries both downstream permutations as payloads
-    # (gid for packing, cpos for the reduction inverse) — post-sort (M,)
-    # gathers cost ~8 ns/element on TPU, payload lanes in the sort are far
-    # cheaper.
-    sorted_key, sorted_gid, sorted_cpos = jax.lax.sort(
-        (key, gid, cpos), num_keys=1)
+    # One 2-operand sort carries the packing permutation as a payload —
+    # post-sort (M,) gathers cost ~8 ns/element on TPU, payload lanes in
+    # the sort are far cheaper.
+    sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
     sorted_tile = (sorted_key >> db).astype(jnp.int32)
     sorted_valid = sorted_tile < grid.num_tiles
 
@@ -270,10 +279,13 @@ def expand_and_sort(
     tile_starts = jnp.searchsorted(sorted_key, boundaries,
                                    side="left").astype(jnp.int32)
 
-    # --- chunk-align into the RENDER capacity Mr ---------------------------
-    # Re-place each tile's run at a chunk_size-aligned start; slots that the
-    # padding pushes past capacity Mr are dropped and counted. Mr must be a
-    # chunk multiple so output slabs stay in-bounds.
+    # --- chunk-align into the ALIGNED capacity Ma --------------------------
+    # Re-place each tile's run at a chunk_size-aligned start. Ma budgets the
+    # worst-case padding (< chunk_size per nonempty tile) ON TOP of the
+    # compact capacity Mr, so alignment can never drop a cull survivor —
+    # the invariant the backward's gid-sort reduction relies on (see
+    # Instances docstring). Both capacities are chunk multiples so output
+    # slabs stay in-bounds.
     #
     # GATHER-FREE: every per-instance quantity below comes from scans
     # (cummax/cumsum, ~3 ms at 2^23) instead of (M,)-sized table gathers
@@ -283,13 +295,14 @@ def expand_and_sort(
     if M % k != 0 or Mr % k != 0:
         raise ValueError(f"max_instances ({M}) and max_render_instances "
                          f"({Mr}) must be multiples of chunk_size ({k})")
+    Ma = Mr + grid.num_tiles * k
     counts = tile_starts[1:] - tile_starts[:-1]                  # (T,)
     aligned_starts = jnp.minimum(
         jnp.concatenate([jnp.zeros((1,), jnp.int32),
                          jnp.cumsum(_scan_guard(-(-counts // k) * k),
                                     dtype=jnp.int32)]),
-        Mr)                                                      # (T+1,) K-aligned
-    aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, Mr
+        Ma)                                                      # (T+1,) K-aligned
+    aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, Ma
                                  ) - aligned_starts[:-1]         # (T,)
 
     prev_tile = jnp.concatenate(
@@ -302,43 +315,37 @@ def expand_and_sort(
     pad_prev = (-(inst - prev_run_start)) % k
     pad_inc = jnp.where(is_start & (inst > 0), pad_prev, 0)
     new_pos = inst + jnp.cumsum(_scan_guard(pad_inc))
-    keep = sorted_valid & (new_pos < Mr)
-    pos = jnp.where(keep, new_pos, Mr)                           # Mr = dropped
+    keep = sorted_valid & (new_pos < Ma)
+    pos = jnp.where(keep, new_pos, Ma)                           # Ma = dropped
     kept = jnp.sum(keep).astype(jnp.int32)
 
-    # aligned-order gaussian ids: the one remaining real (Mr,) scatter
+    # aligned-order gaussian ids: the one remaining real (Ma,) scatter
     # (indices are monotonic in-bounds-or-dropped)
-    gaussian_id = jnp.zeros((Mr,), jnp.int32).at[pos].set(
+    gaussian_id = jnp.zeros((Ma,), jnp.int32).at[pos].set(
         sorted_gid, mode="drop")
 
     # slot validity + tile ids via tiny (T,) scatters at run starts plus a
     # cummax fill — no per-slot table gathers
     astart = aligned_starts[:-1]
     nonempty = aligned_counts > 0
-    mark_idx = jnp.where(nonempty, astart, Mr)
-    slot = jnp.arange(Mr, dtype=jnp.int32)
+    mark_idx = jnp.where(nonempty, astart, Ma)
+    slot = jnp.arange(Ma, dtype=jnp.int32)
     run_end_slot = jax.lax.cummax(_scan_guard(
-        jnp.zeros((Mr,), jnp.int32).at[mark_idx].max(
+        jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(
             astart + aligned_counts, mode="drop")))
     valid_p = slot < run_end_slot
     tile_fill = jax.lax.cummax(_scan_guard(
-        jnp.zeros((Mr,), jnp.int32).at[mark_idx].max(
+        jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(
             jnp.arange(grid.num_tiles, dtype=jnp.int32), mode="drop")))
     tile_id = jnp.where(valid_p, tile_fill, grid.num_tiles)
 
     # per-gaussian [start, end) in compacted space: exclusive pass-prefix
-    # evaluated at the gaussian's pre-sort segment bounds
+    # evaluated at the gaussian's pre-sort segment bounds. Contiguity is
+    # exact: seg_end[g] == seg_start[g+1] (offsets is a cumsum).
     pass_excl = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), pass_incl])     # (M+1,)
     seg_start = jnp.minimum(pass_excl[jnp.minimum(offsets, M)], Mr)
     seg_end = jnp.minimum(pass_excl[jnp.minimum(offsets + span, M)], Mr)
-
-    # invert the (sort o realign) permutation: compacted instance c sits at
-    # aligned slot aligned_pos[c] (>= Mr if dropped). Sorting (cpos, pos)
-    # delivers the inverse directly (an equivalent scatter would be lowered
-    # to a sort by XLA anyway, with worse constants).
-    _, aligned_pos_full = jax.lax.sort_key_val(sorted_cpos, pos)
-    aligned_pos = aligned_pos_full[:Mr]
 
     return Instances(
         gaussian_id=gaussian_id,
@@ -347,9 +354,8 @@ def expand_and_sort(
         tile_starts=aligned_starts,
         tile_counts=aligned_counts,
         total=kept,
-        clipped=clipped + (n_pass - kept),
+        clipped=clipped + (n_pass_raw - kept),
         demand=total_raw.astype(jnp.int32),
-        aligned_pos=aligned_pos,
         seg_start=seg_start,
         seg_end=seg_end,
     )

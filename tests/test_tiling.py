@@ -85,10 +85,12 @@ def test_overflow_counted():
     assert int(inst.clipped) == 18
 
 
-def test_alignment_overflow_counted():
-    # 3 tiles x 3 instances each; chunk alignment pads each tile's range to 8,
-    # so tile 2's range starts at capacity (16) and its instances are dropped
-    # and counted — never silently.
+def test_alignment_never_drops():
+    # 3 tiles x 3 instances each; chunk alignment pads each tile's range to 8.
+    # The aligned capacity Ma = Mr + num_tiles * chunk budgets the worst-case
+    # padding, so alignment can NEVER drop a survivor (the backward's
+    # gid-sort reduction relies on every survivor holding a slot) — all 9
+    # instances keep slots at 8-aligned starts and nothing is clipped.
     mean = jnp.array([[8.0, 8.0]] * 3 + [[24.0, 8.0]] * 3 + [[40.0, 8.0]] * 3)
     radius = jnp.full((9,), 2.0)
     visible = jnp.ones((9,), bool)
@@ -97,10 +99,19 @@ def test_alignment_overflow_counted():
     config = RasterConfig(max_instances=16, chunk_size=8)
     grid = tiling.make_tile_grid((48, 16), 16)
     inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
-    assert int(inst.total) == 6
-    assert int(inst.clipped) == 3
+    assert int(inst.total) == 9
+    assert int(inst.clipped) == 0
     assert np.asarray(inst.tile_starts)[:3].tolist() == [0, 8, 16]
-    assert np.asarray(inst.tile_counts).tolist() == [3, 3, 0]
+    assert np.asarray(inst.tile_counts).tolist() == [3, 3, 3]
+    # compact ranks: stable gid sort of the aligned stream must reproduce
+    # the seg_start/seg_end numbering exactly
+    valid = np.asarray(inst.valid)
+    gids = np.asarray(inst.gaussian_id)
+    order = np.argsort(np.where(valid, gids, 9), kind="stable")
+    compact_gids = gids[order][: int(inst.total)]
+    for g in range(9):
+        s, e = int(inst.seg_start[g]), int(inst.seg_end[g])
+        assert (compact_gids[s:e] == g).all()
 
 
 def test_invisible_produce_no_instances():
