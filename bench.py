@@ -225,13 +225,14 @@ def main():
                     for b in batches)
 
     def ladder_fit(need, ceiling, k=rcfg.chunk_size):
+        # mirror Trainer._capacity_ladder: eighth-step rungs
         v = max(k * 64, 1 << 13)
         vals = {ceiling}
         while v < ceiling:
-            if v % k == 0:
-                vals.add(v)
-            if (v * 3 // 2) < ceiling and (v * 3 // 2) % k == 0:
-                vals.add(v * 3 // 2)
+            for num in (8, 9, 10, 11, 12, 13, 14, 15):
+                r = v * num // 8
+                if r < ceiling and r % k == 0:
+                    vals.add(r)
             v *= 2
         for c in sorted(vals):
             if c >= need:

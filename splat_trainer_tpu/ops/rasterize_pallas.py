@@ -52,8 +52,12 @@ from splat_trainer_tpu.ops.tiling import TileGrid
 INST_ROWS = 16
 # backward per-instance gradient matrix, (16, M) f32 — rows:
 # [0] d_mean_x [1] d_mean_y [2:5] d_conic [5] d_opacity [6:9] d_color
-# [9] prune_cost [10:16] pad
+# [9] prune_cost [10:16] pad. GRAD_ROWS must stay a multiple of 8 (Mosaic
+# requires HBM slices 8-aligned along the sublane dim); GRAD_USED marks
+# the live rows — the backward reduction sorts/gathers ONLY those (dead
+# payload lanes cost real milliseconds in the gid sort).
 GRAD_ROWS = 16
+GRAD_USED = 10
 IMG_ROWS = 8  # [r, g, b, T_final, median_ndc, pad, pad, pad]
 
 
@@ -420,7 +424,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
 def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
                        grid: TileGrid, image_size, config: RasterConfig,
                        interpret: bool = False):
-    """Run the backward kernel. Returns per-instance gradients (16, M)."""
+    """Run the backward kernel. Returns per-instance gradients (GRAD_ROWS, M)."""
     m = inst_data.shape[1]
     p = grid.tile_size * grid.tile_size
     k = config.chunk_size

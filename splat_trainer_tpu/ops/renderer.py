@@ -152,7 +152,8 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
             # move the same data ~2x cheaper and land directly in compact
             # order (rank == compact position, tiling.Instances docstring).
             grad_sorted = _compact_by_gid(
-                tuple(inst_grad_t[i] for i in range(inst_grad_t.shape[0])),
+                tuple(inst_grad_t[i]
+                      for i in range(rasterize_pallas.GRAD_USED)),
                 inst, n)
             seg = segment_sum_contiguous(
                 grad_sorted, inst.seg_start, inst.seg_end, abutting=True)

@@ -109,16 +109,36 @@ class Instances(NamedTuple):
     seg_end: jax.Array       # (N,) int32 — gaussian's compact range end
 
 
-def tile_rects(mean: jax.Array, radius: jax.Array, visible: jax.Array, grid: TileGrid):
-    """Clipped tile-rectangle [x0, x1) x [y0, y1) per gaussian + span counts."""
+def tile_rects(mean: jax.Array, radius: jax.Array, visible: jax.Array,
+               grid: TileGrid,
+               conic: jax.Array | None = None,
+               qmax: jax.Array | None = None):
+    """Clipped tile-rectangle [x0, x1) x [y0, y1) per gaussian + span counts.
+
+    With `conic` (a b c rows of the 2D precision) and `qmax` (the conic
+    level the kernel's alpha threshold reaches), the rect is the EXACT
+    axis-aligned bounding box of the alpha>=threshold ellipse:
+    half-widths sqrt(qmax * Sigma_xx), sqrt(qmax * Sigma_yy) with
+    Sigma = conic^-1 — strictly tighter than the circumscribed circle of
+    radius sqrt(qmax * lambda_max) for anisotropic splats (the common
+    case), which directly shrinks the instance-expansion demand and every
+    capacity bucketed from it. Without conic the circle of `radius` is
+    used (dense-oracle path)."""
     ts = grid.tile_size
     u, v = mean[:, 0], mean[:, 1]
-    r = radius
+    if conic is not None and qmax is not None:
+        ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+        det = jnp.maximum(ca * cc - cb * cb, 1e-12)
+        q = jnp.maximum(qmax, 0.0)
+        rx = jnp.minimum(jnp.sqrt(q * cc / det), radius)
+        ry = jnp.minimum(jnp.sqrt(q * ca / det), radius)
+    else:
+        rx = ry = radius
 
-    x0 = jnp.clip(jnp.floor((u - r) / ts), 0, grid.ntx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((v - r) / ts), 0, grid.nty).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((u + r) / ts) + 1, 0, grid.ntx).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((v + r) / ts) + 1, 0, grid.nty).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((u - rx) / ts), 0, grid.ntx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((v - ry) / ts), 0, grid.nty).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((u + rx) / ts) + 1, 0, grid.ntx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((v + ry) / ts) + 1, 0, grid.nty).astype(jnp.int32)
 
     span = jnp.where(visible, (x1 - x0) * (y1 - y0), 0).astype(jnp.int32)
     return (x0, y0, x1, y1), span
@@ -185,7 +205,14 @@ def expand_and_sort(
     hand-rolled cumsum/scatter radix sort by ~1.8x."""
     M = config.max_instances
     Mr = config.max_render_instances or M
-    (x0, y0, x1, _y1), span = tile_rects(mean, radius, visible, grid)
+    do_cull = conic is not None and opacity is not None
+    qmax = None
+    if do_cull:
+        # q threshold: alpha = op * exp(-q/2) >= alpha_threshold
+        qmax = 2.0 * jnp.log(
+            jnp.maximum(opacity / config.alpha_threshold, 1e-12))
+    (x0, y0, x1, _y1), span = tile_rects(mean, radius, visible, grid,
+                                         conic=conic, qmax=qmax)
     span_x = jnp.maximum(x1 - x0, 1)
 
     span = _scan_guard(span)
@@ -218,18 +245,16 @@ def expand_and_sort(
         y0.astype(jnp.float32),
         dq,
     ]
-    do_cull = conic is not None and opacity is not None
     if do_cull:
-        # q threshold: alpha = op * exp(-q/2) >= alpha_threshold
-        qmax = 2.0 * jnp.log(
-            jnp.maximum(opacity / config.alpha_threshold, 1e-12))
         cols += [mean[:, 0], mean[:, 1],
                  conic[:, 0], conic[:, 1], conic[:, 2], qmax,
                  jnp.zeros_like(dq)]
     else:
         cols += [jnp.zeros_like(dq)] * 3
     aux_g = jnp.stack(cols, axis=-1)                 # (N, 8 or 12)
-    aux = aux_g[gid]                                 # one row-gather
+    # one row-gather; gid is non-decreasing (cummax) and always in-bounds
+    aux = aux_g.at[gid].get(indices_are_sorted=True,
+                            mode="promise_in_bounds")
     offs_f, sx_f = aux[:, 0], aux[:, 1]
     x0_f, y0_f, dq_i = aux[:, 2], aux[:, 3], aux[:, 4]
 
@@ -344,8 +369,10 @@ def expand_and_sort(
     # exact: seg_end[g] == seg_start[g+1] (offsets is a cumsum).
     pass_excl = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), pass_incl])     # (M+1,)
-    seg_start = jnp.minimum(pass_excl[jnp.minimum(offsets, M)], Mr)
-    seg_end = jnp.minimum(pass_excl[jnp.minimum(offsets + span, M)], Mr)
+    seg_start = jnp.minimum(pass_excl.at[jnp.minimum(offsets, M)].get(
+        indices_are_sorted=True, mode="promise_in_bounds"), Mr)
+    seg_end = jnp.minimum(pass_excl.at[jnp.minimum(offsets + span, M)].get(
+        indices_are_sorted=True, mode="promise_in_bounds"), Mr)
 
     return Instances(
         gaussian_id=gaussian_id,

@@ -525,14 +525,18 @@ class Trainer:
         rc = self.config.raster_config()
         ceiling = rc.max_instances
         k = rc.chunk_size
+        # eighth-step rungs between powers of two: the step's gather/sort/
+        # scatter costs scale ~linearly with the static capacities, so a
+        # coarse ladder wastes up to 33% capacity headroom as real
+        # milliseconds. Finer rungs cost at most a few extra re-jits over a
+        # whole run (growth visits each rung once).
         vals = {ceiling}
         v = max(k * 64, 1 << 13)
         while v < ceiling:
-            if v % k == 0:
-                vals.add(v)
-            v32 = v * 3 // 2
-            if v32 < ceiling and v32 % k == 0:
-                vals.add(v32)
+            for num in (8, 9, 10, 11, 12, 13, 14, 15):
+                r = v * num // 8
+                if r < ceiling and r % k == 0:
+                    vals.add(r)
             v *= 2
         return sorted(vals)
 
