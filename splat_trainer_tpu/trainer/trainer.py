@@ -502,11 +502,17 @@ class Trainer:
             batch = jax.device_put(batch, self._batch_sharding)
         return batch
 
-    def iter_batches(self):
+    def iter_views(self):
+        """Worker-side batch source: HOST work only (view selection + image
+        IO). Device conversion (make_batch) must happen on the MAIN thread:
+        the axon PJRT tunnel deadlocks under concurrent device access from
+        a second thread — observed as training wedging at the loop entry
+        with every thread parked in futex waits while the single-threaded
+        bench ran fine on the same chip."""
         while True:
             batch_idx = self.view_selection.select_images(
                 self.view_clustering, self.progress)
-            yield self.make_batch(self.dataset.loader(batch_idx))
+            yield self.dataset.loader(batch_idx)
 
     # -- instance-capacity bucketing ----------------------------------------
     # The binning/sort/reduction pipeline costs scale with the STATIC
@@ -740,7 +746,7 @@ class Trainer:
                     raster_config=self.config.raster_config(),
                     image_size=self.camera_table.image_size,
                     ssim_levels=self.config.ssim_levels))
-            batch = next(self.iter_batches())
+            batch = self.make_batch(next(self.iter_views()))
             hyper = make_hyper(self.config.scene, self.config, self.progress.t)
             bundle = self._grad_fn(self.scene, batch, hyper)
             log_gradient_histograms(
@@ -818,13 +824,13 @@ class Trainer:
 
         self.print(f"training for {self.config.total_steps - self.step} steps, "
                    f"eval every {self.config.eval_steps}")
-        self.loader = ThreadedLoader(self.iter_batches())
+        self.loader = ThreadedLoader(self.iter_views())
         self.pbar = tqdm(initial=self.step, total=self.config.total_steps,
                          desc=self.state,
                          disable=bool(os.environ.get("TQDM_DISABLE")))
 
         while self.step < self.config.total_steps:
-            batch = self.loader.next()
+            batch = self.make_batch(self.loader.next())
             self.training_step(batch)
 
             if self.last_checkpoint + self.config.eval_steps <= self.step:
