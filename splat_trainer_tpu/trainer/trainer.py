@@ -492,10 +492,38 @@ class Trainer:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    # HBM budget for staging the whole dataset on device (one upload at
+    # train start instead of ~5 MB host->device per step — through the
+    # remote-TPU tunnel the per-step upload dominates the step itself)
+    DEVICE_IMAGE_CACHE_BYTES = 4 << 30
+
+    def _stage_images(self) -> bool:
+        """One-time device staging of all dataset images (uint8).
+
+        Returns False (and leaves the per-batch upload path in place) when
+        the dataset exceeds the HBM budget or image sizes are mixed."""
+        n = self.camera_table.num_images
+        w, h = self.camera_table.image_size
+        if n * w * h * 3 > self.DEVICE_IMAGE_CACHE_BYTES:
+            return False
+        try:
+            views = self.dataset.loader(list(range(n)))
+            imgs = np.zeros((n, h, w, 3), np.uint8)
+            for v in views:
+                imgs[v.image_idx] = v.image
+        except (ValueError, KeyError, IndexError):
+            return False   # mixed sizes / sparse indexing: keep host path
+        self._device_images = jnp.asarray(imgs)
+        self.print(f"staged {n} images ({n * w * h * 3 / 1e6:.0f} MB) on device")
+        return True
+
     def make_batch(self, views: List[ImageView]) -> TrainBatch:
         idx = jnp.asarray([v.image_idx for v in views])
         t, proj, near, far = self.camera_table.gather_batch(idx)
-        images = jnp.asarray(np.stack([v.image for v in views]))
+        if getattr(self, "_device_images", None) is not None:
+            images = self._device_images[idx]
+        else:
+            images = jnp.asarray(np.stack([v.image for v in views]))
         batch = TrainBatch(images=images, image_idx=idx, T_camera_world=t,
                            projection=proj, near=near, far=far)
         if self._batch_sharding is not None:
@@ -534,8 +562,10 @@ class Trainer:
         # eighth-step rungs between powers of two: the step's gather/sort/
         # scatter costs scale ~linearly with the static capacities, so a
         # coarse ladder wastes up to 33% capacity headroom as real
-        # milliseconds. Finer rungs cost at most a few extra re-jits over a
-        # whole run (growth visits each rung once).
+        # milliseconds. Fine rungs are used when SHRINKING to a stable
+        # occupancy; growth uses _coarse_ladder (below) because each rung
+        # crossed is a full re-jit (~2-3 min through the remote compile
+        # helper) and densification crosses rungs monotonically.
         vals = {ceiling}
         v = max(k * 64, 1 << 13)
         while v < ceiling:
@@ -546,11 +576,26 @@ class Trainer:
             v *= 2
         return sorted(vals)
 
-    def _ladder_fit(self, need: int) -> int:
-        for v in self._capacity_ladder():
+    def _coarse_ladder(self):
+        rc = self.config.raster_config()
+        ceiling = rc.max_instances
+        k = rc.chunk_size
+        vals = {ceiling}
+        v = max(k * 64, 1 << 13)
+        while v < ceiling:
+            for num in (2, 3):
+                r = v * num // 2
+                if r < ceiling and r % k == 0:
+                    vals.add(r)
+            v *= 2
+        return sorted(vals)
+
+    def _ladder_fit(self, need: int, coarse: bool = False) -> int:
+        ladder = self._coarse_ladder() if coarse else self._capacity_ladder()
+        for v in ladder:
             if v >= need:
                 return v
-        return self._capacity_ladder()[-1]
+        return ladder[-1]
 
     def _get_step_fn(self, bucket):
         fn = self._step_cache.get(bucket)
@@ -584,18 +629,36 @@ class Trainer:
                      + int(float(metrics.clipped_instances) + 0.999))
         if demand == 0 and instances == 0:
             return   # dense backend / no signal
-        want_m = self._ladder_fit(int(demand * self.BUCKET_HEADROOM))
-        want_mr = min(self._ladder_fit(int(instances * self.BUCKET_HEADROOM)),
-                      want_m)
+        need_m = int(demand * self.BUCKET_HEADROOM)
+        need_mr = int(instances * self.BUCKET_HEADROOM)
+        # shrink sizes to the running max since the last bucket change:
+        # per-camera demand varies by about the fine-rung spacing, so
+        # sizing a shrink to one camera's low would thrash against the
+        # next high camera (each transition is a full re-jit)
+        hi_m, hi_mr = getattr(self, "_need_hi", (0, 0))
+        self._need_hi = (max(hi_m, need_m), max(hi_mr, need_mr))
+        want_m = self._ladder_fit(need_m)
+        want_mr = min(self._ladder_fit(need_mr), want_m)
         cur_m, cur_mr = self._bucket
         if want_m > cur_m or want_mr > cur_mr or int(metrics.clipped_instances) > 0:
-            self._bucket = (max(want_m, cur_m), max(want_mr, cur_mr))
+            # growth picks from the COARSE ladder: demand rises monotonically
+            # through densification and every rung crossed is a ~2-3 min
+            # remote re-jit; the fine rungs are reached later via shrink once
+            # occupancy stabilizes
+            grow_m = self._ladder_fit(need_m, coarse=True)
+            grow_mr = min(self._ladder_fit(need_mr, coarse=True), grow_m)
+            self._bucket = (max(grow_m, cur_m), max(grow_mr, cur_mr))
             self._shrink_streak = 0
+            self._need_hi = (need_m, need_mr)
         elif want_m < cur_m or want_mr < cur_mr:
             self._shrink_streak += 1
             if self._shrink_streak >= self.SHRINK_STREAK:
-                self._bucket = (want_m, want_mr)
+                shr_m = self._ladder_fit(self._need_hi[0])
+                shr_mr = min(self._ladder_fit(self._need_hi[1]), shr_m)
+                if (shr_m, shr_mr) != (cur_m, cur_mr):
+                    self._bucket = (min(shr_m, cur_m), min(shr_mr, cur_mr))
                 self._shrink_streak = 0
+                self._need_hi = (need_m, need_mr)
         else:
             self._shrink_streak = 0
 
@@ -613,7 +676,11 @@ class Trainer:
         # densify interval misalign
         self._last_metrics = metrics
         if self.is_logging_step:
-            self._log_step_metrics(metrics)
+            # ONE device->host transfer for the whole (scalar) metrics tree:
+            # each individual float()/int() is a separate tunnel round trip
+            # (~30 ms nominal, seconds when the link degrades) and a logging
+            # step reads ~10 of them
+            self._log_step_metrics(jax.device_get(metrics))
         self.logger.step(self.progress)
 
     def _log_step_metrics(self, m):
@@ -824,6 +891,7 @@ class Trainer:
 
         self.print(f"training for {self.config.total_steps - self.step} steps, "
                    f"eval every {self.config.eval_steps}")
+        self._stage_images()
         self.loader = ThreadedLoader(self.iter_views())
         self.pbar = tqdm(initial=self.step, total=self.config.total_steps,
                          desc=self.state,
