@@ -3,9 +3,10 @@
 TPU-native replacement for the CUDA dynamic per-tile lists + radix sort used
 by taichi-splatting (SURVEY.md §7.4 hard-part #1). Design:
 
-- Each visible gaussian covers a rectangle of tiles; instance k of gaussian g
-  is *derived by gather* (searchsorted over the exclusive-cumsum of spans)
-  instead of scattered — fully parallel, no dynamic memory.
+- Each visible gaussian covers the exact bbox of its alpha>=threshold
+  ellipse; instance k of gaussian g is *derived* (segment-start scatter +
+  cummax over the exclusive-cumsum of spans) instead of list-appended —
+  fully parallel, no dynamic memory.
 - A single fused uint32 sort key packs (tile_id, quantized NDC depth):
   tile bits are the high bits so one `lax.sort_key_val` yields instances
   grouped by tile in front-to-back depth order. (A hand-rolled
