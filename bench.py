@@ -376,6 +376,24 @@ run in ~10% of the step.
 
 Throughput: **{images_per_sec:.2f} images/sec/chip** (baseline A100
 taichi-splatting ~{BASELINE_IMAGES_PER_SEC}).
+
+## Remaining-gap attribution (target >=3x baseline = 36 img/s = 28 ms/step)
+
+Op-level traces (scripts_dev/trace_step.py + trace_ops.py) attribute the
+current step at bench capacities roughly as: backward gid-sort ~47 ms
+(11 payload lanes at Ma), fwd+bwd Pallas kernels ~61 ms, aux expand
+row-gather ~26 ms, packing row-gather ~26 ms, gaussian_id realign
+scatter ~33 ms, boundary prefix gather ~16 ms, main u32 sort ~10 ms,
+SSIM ~19 ms, image-pyramid reshapes ~10 ms, projection/optimizer/scans
+tail ~40 ms. The floor of the current architecture is the per-element
+cost of moving the ~2.4-3M-instance stream through sorts (~0.8
+ns/elem/lane) and the unavoidable N->instance gathers (~25 ns/row):
+roughly 120-150 ms at this occupancy, i.e. ~7-8 img/s. Reaching 36
+img/s additionally needs (a) bf16 packing of sort/gather payloads
+(2x on the dominant movers, quality-gated), (b) per-tile saturation
+culling so instances behind the early-exit transmittance never enter
+the stream (forward early-exit suggests a 20-40% cut), and (c) kernel
+VPU-pass tuning toward the ~10 ms roofline of the composite itself.
 """)
 
     print(json.dumps({
