@@ -224,17 +224,11 @@ def main():
     instances = max(int(np.asarray(binning_jit(b)[2].valid.sum()))
                     for b in batches)
 
+    from splat_trainer_tpu.trainer.trainer import capacity_ladder
+
     def ladder_fit(need, ceiling, k=rcfg.chunk_size):
-        # mirror Trainer._capacity_ladder: eighth-step rungs
-        v = max(k * 64, 1 << 13)
-        vals = {ceiling}
-        while v < ceiling:
-            for num in (8, 9, 10, 11, 12, 13, 14, 15):
-                r = v * num // 8
-                if r < ceiling and r % k == 0:
-                    vals.add(r)
-            v *= 2
-        for c in sorted(vals):
+        # the trainer's fine (steady-state) rungs — one source of truth
+        for c in capacity_ladder(ceiling, k):
             if c >= need:
                 return c
         return ceiling
@@ -389,11 +383,15 @@ tail ~40 ms. The floor of the current architecture is the per-element
 cost of moving the ~2.4-3M-instance stream through sorts (~0.8
 ns/elem/lane) and the unavoidable N->instance gathers (~25 ns/row):
 roughly 120-150 ms at this occupancy, i.e. ~7-8 img/s. Reaching 36
-img/s additionally needs (a) bf16 packing of sort/gather payloads
-(2x on the dominant movers, quality-gated), (b) per-tile saturation
-culling so instances behind the early-exit transmittance never enter
-the stream (forward early-exit suggests a 20-40% cut), and (c) kernel
-VPU-pass tuning toward the ~10 ms roofline of the composite itself.
+img/s additionally needs (a) bf16 pair-packing of the backward sort
+payloads (IMPLEMENTED behind RasterConfig.grad_bf16_pack — halves the
+dominant gid-sort's lanes; quality-gate on-chip before defaulting on),
+(b) tile_size=32 (lossless, zero code change: ~0.6x instances and ~0.45x
+Ma shrink every stream op, against ~1.5-2x kernel time at 4x
+pixels/chunk — the kernel sits at ~8% utilization so the latency
+amortization may absorb it), and (c) per-tile saturation culling, which
+needs a dynamic-shape trick TPU doesn't offer cheaply (the kernels
+already early-exit; only the stream ops pay for dead instances).
 """)
 
     print(json.dumps({

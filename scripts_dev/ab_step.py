@@ -29,6 +29,12 @@ def main():
                     help="override raster max_instances (0 = config value)")
     ap.add_argument("--max-render", type=int, default=0,
                     help="override raster max_render_instances")
+    ap.add_argument("--tile-size", type=int, default=0,
+                    help="override raster tile_size (32 is the lossless "
+                         "fewer-instances/bigger-blocks experiment)")
+    ap.add_argument("--bf16-pack", action="store_true",
+                    help="enable RasterConfig.grad_bf16_pack (halved "
+                         "backward gid-sort payload lanes)")
     ap.add_argument("--occupancy", action="store_true",
                     help="print post-cull instance counts and exit")
     args = ap.parse_args()
@@ -50,6 +56,10 @@ def main():
         rcfg = dataclasses.replace(rcfg, max_instances=args.max_instances)
     if args.max_render:
         rcfg = dataclasses.replace(rcfg, max_render_instances=args.max_render)
+    if args.tile_size:
+        rcfg = dataclasses.replace(rcfg, tile_size=args.tile_size)
+    if args.bf16_pack:
+        rcfg = dataclasses.replace(rcfg, grad_bf16_pack=True)
     pstate = PointState.new_zeros(scene.capacity)
     w, h = camera_table.image_size
 

@@ -159,6 +159,7 @@ class TargetController:
         self.max_points = target_points
         self.next_densify = self.find_next_densify(progress)
         self.target_cap = None    # set by the instance-overflow guard
+        self._cap_ratcheted = False
         self.next_opacity_reset = (
             progress.step + config.opacity_reset_interval
             if config.opacity_reset_interval else None)
@@ -177,19 +178,33 @@ class TargetController:
         return target
 
     def note_clipping(self, clipped: int, max_instances: int,
-                      progress: Progress):
+                      progress: Progress, can_grow: bool = False):
         """Instance-overflow guard (see TargetConfig.clip_tolerance): freeze
         the count target when the rasterizer drops instances; ratchet it
-        down while overflow persists. Never released — demand rarely
-        shrinks on its own."""
+        down while overflow persists.
+
+        `can_grow=True` means the caller's instance capacity is below its
+        config ceiling and will be enlarged (Trainer bucketing grows the
+        compiled step on the next logging step) — transient bucket-lag
+        clipping must NOT permanently cap the point schedule, so the guard
+        stands down. Only clipping at the true ceiling engages it, and a
+        clean step at the ceiling releases a freeze that never ratcheted
+        (a ratcheted cap persists — repeated overflow there is real
+        pressure)."""
         if clipped <= self.config.clip_tolerance * max_instances:
+            if self.target_cap is not None and not self._cap_ratcheted:
+                self.target_cap = None   # transient spike at the ceiling
+            return
+        if can_grow:
             return
         scheduled = self.target_points(progress)
         if self.target_cap is None:
             self.target_cap = scheduled
+            self._cap_ratcheted = False
         else:
             self.target_cap = int(min(self.target_cap, scheduled)
                                   * self.config.clip_backoff)
+            self._cap_ratcheted = True
 
     def should_densify(self, progress: Progress) -> bool:
         return self.next_densify is not None and progress.step >= self.next_densify
@@ -199,8 +214,14 @@ class TargetController:
                 or progress.step < self.next_opacity_reset):
             return False
         interval = self.config.opacity_reset_interval
-        nxt = progress.step + interval
         stop = self.config.opacity_reset_stop_t * progress.total_steps
+        if progress.step > stop:
+            # the stop point protects the final refinement phase — it gates
+            # EVERY reset, including the first (interval > stop would
+            # otherwise fire one reset inside the refinement tail)
+            self.next_opacity_reset = None
+            return False
+        nxt = progress.step + interval
         self.next_opacity_reset = nxt if nxt <= stop else None
         return True
 
@@ -213,11 +234,14 @@ class TargetController:
         return dict(start_points=self.start_points,
                     next_densify=self.next_densify,
                     target_cap=self.target_cap,
+                    cap_ratcheted=self._cap_ratcheted,
                     next_opacity_reset=self.next_opacity_reset)
 
     def load_state_dict(self, state: dict):
         self.start_points = state["start_points"]
         self.next_densify = state["next_densify"]
         self.target_cap = state.get("target_cap")
+        self._cap_ratcheted = state.get("cap_ratcheted",
+                                        self.target_cap is not None)
         self.next_opacity_reset = state.get("next_opacity_reset",
                                             self.next_opacity_reset)

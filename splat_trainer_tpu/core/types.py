@@ -162,6 +162,13 @@ class RasterConfig:
     #               scatter-add over millions of unsorted ids serializes)
     #   "segment" — jax.ops.segment_sum (scatter-add); kept for A/B
     reduce: str = "gather"
+    # pack pairs of backward per-instance gradient lanes as bf16 halves of
+    # one u32 sort payload (renderer._pack_grad_bf16): halves the dominant
+    # gid-sort's payload lanes (measured ~0.8 ns/elem/lane at Ma on TPU).
+    # Per-instance gradient values are quantized to bf16 (~0.4% relative)
+    # BEFORE the f32 per-gaussian summation; quality-gate on-chip before
+    # defaulting on.
+    grad_bf16_pack: bool = False
 
     def __post_init__(self):
         assert self.max_instances % self.chunk_size == 0, \

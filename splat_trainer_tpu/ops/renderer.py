@@ -71,6 +71,39 @@ def _compact_by_gid(lanes, inst, n):
     return jnp.stack(out[1:], axis=-1)
 
 
+def _pack_pair_bf16(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Two f32 lanes -> one u32 lane: bf16(a) in the high 16 bits, bf16(b)
+    low. The pack/unpack passes are bandwidth-trivial next to the per-lane
+    cost they remove from the gid sort (~0.8 ns/elem/lane at Ma)."""
+    ah = lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    bh = lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    return (ah.astype(jnp.uint32) << 16) | bh.astype(jnp.uint32)
+
+
+def _unpack_pair_bf16(p: jax.Array):
+    a = lax.bitcast_convert_type((p >> 16).astype(jnp.uint16), jnp.bfloat16)
+    b = lax.bitcast_convert_type(p.astype(jnp.uint16), jnp.bfloat16)
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def _compact_by_gid_bf16(lanes, inst, n):
+    """`_compact_by_gid` with pairs of lanes bf16-packed into u32 payloads
+    (RasterConfig.grad_bf16_pack): an 11-operand sort becomes 6-operand.
+    Values are quantized to bf16 per instance; the per-gaussian summation
+    downstream stays f32."""
+    if len(lanes) % 2:
+        lanes = lanes + (jnp.zeros_like(lanes[0]),)
+    packed = tuple(_pack_pair_bf16(lanes[i], lanes[i + 1])
+                   for i in range(0, len(lanes), 2))
+    key = jnp.where(inst.valid, inst.gaussian_id, n)
+    out = lax.sort((key,) + packed, num_keys=1)
+    cols = []
+    for p in out[1:]:
+        a, b = _unpack_pair_bf16(p)
+        cols += [a, b]
+    return jnp.stack(cols[:len(lanes)], axis=-1)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
                     interpret: bool):
@@ -151,7 +184,9 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
             # a full (8,128) HBM tile); payload lanes in one gid-keyed sort
             # move the same data ~2x cheaper and land directly in compact
             # order (rank == compact position, tiling.Instances docstring).
-            grad_sorted = _compact_by_gid(
+            compact = (_compact_by_gid_bf16 if config.grad_bf16_pack
+                       else _compact_by_gid)
+            grad_sorted = compact(
                 tuple(inst_grad_t[i]
                       for i in range(rasterize_pallas.GRAD_USED)),
                 inst, n)

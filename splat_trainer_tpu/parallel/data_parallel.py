@@ -71,10 +71,17 @@ def make_dp_train_step(
                        metrics=jax.tree_util.tree_map(
                            lambda m: m / n, bundle.metrics)))
         scale_max = jax.lax.pmax(bundle.scale_max, CAMERA_AXIS)
+        # occupancy metrics are worst-view maxima (they size the instance
+        # bucketing): pmax across camera shards, not a mean of maxima
+        metrics = dict(summed.metrics)
+        for k in ("num_instances", "instance_demand"):
+            if k in metrics:
+                metrics[k] = jax.lax.pmax(bundle.metrics[k], CAMERA_AXIS)
         return summed.replace(
             in_view_any=summed.in_view_any > 0,
             scale_max=scale_max,
-            glo_rows=summed.glo_rows > 0)
+            glo_rows=summed.glo_rows > 0,
+            metrics=metrics)
 
     replicated = P()
     batch_spec = TrainBatch(

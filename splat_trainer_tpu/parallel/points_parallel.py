@@ -343,8 +343,13 @@ def make_local_grads(
             pose_dq=psum(grads.pose_dq), pose_dt=psum(grads.pose_dt),
             corrector_grids=(None if grads.corrector_grids is None
                              else psum(grads.corrector_grids)))
-        metrics = jax.tree_util.tree_map(
-            lambda m: psum(m) / D, aux["metrics"])
+        # occupancy metrics are worst-VIEW maxima (they size the instance
+        # bucketing) — reduce across chips with pmax, not a mean of maxima
+        m_local = dict(aux["metrics"])
+        occ = {k: jax.lax.pmax(m_local.pop(k), POINTS_AXIS)
+               for k in ("num_instances", "instance_demand")}
+        metrics = jax.tree_util.tree_map(lambda m: psum(m) / D, m_local)
+        metrics.update(occ)
 
         return GradBundle(grads=grads, heur=heur, vis_acc=vis_acc,
                           in_view_any=in_view_any, scale_max=scale_max,
@@ -457,6 +462,12 @@ def make_dp_pp_train_step(
         def csum(x):
             return jax.lax.psum(x, CAMERAS_AXIS)
 
+        m_local = dict(bundle.metrics)
+        occ = {k: jax.lax.pmax(m_local.pop(k), CAMERAS_AXIS)
+               for k in ("num_instances", "instance_demand")
+               if k in m_local}   # worst-view maxima: pmax, not mean
+        m_red = jax.tree_util.tree_map(lambda m: csum(m) / dc, m_local)
+        m_red.update(occ)
         bundle = GradBundle(
             grads=jax.tree_util.tree_map(csum, bundle.grads),
             heur=csum(bundle.heur),
@@ -464,8 +475,7 @@ def make_dp_pp_train_step(
             in_view_any=csum(bundle.in_view_any.astype(jnp.int32)) > 0,
             scale_max=jax.lax.pmax(bundle.scale_max, CAMERAS_AXIS),
             glo_rows=csum(bundle.glo_rows.astype(jnp.int32)) > 0,
-            metrics=jax.tree_util.tree_map(
-                lambda m: csum(m) / dc, bundle.metrics))
+            metrics=m_red)
         return apply_updates(scene_l, pstate_l, bundle, hyper, scene_config)
 
     scene_spec = _spec_like(scene_template)

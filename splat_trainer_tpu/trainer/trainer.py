@@ -48,6 +48,27 @@ class TrainerState:
     Paused = "paused"
 
 
+FINE_RUNGS = (8, 9, 10, 11, 12, 13, 14, 15)    # eighth steps
+COARSE_RUNGS = (8, 12)                          # x1.5 steps
+
+
+def capacity_ladder(ceiling: int, chunk: int, numerators=FINE_RUNGS):
+    """Instance-capacity rungs in [chunk*64, ceiling], chunk multiples.
+
+    The single source of truth for bucket sizing — the Trainer's growth
+    (coarse)/shrink (fine) paths and bench.py's steady-state capacity
+    pick all derive from here so they cannot drift apart."""
+    vals = {ceiling}
+    v = max(chunk * 64, 1 << 13)
+    while v < ceiling:
+        for num in numerators:
+            r = v * num // 8
+            if r < ceiling and r % chunk == 0:
+                vals.add(r)
+        v *= 2
+    return sorted(vals)
+
+
 def check_finite_tree(tree, name: str):
     """NaN sweep over a pytree (reference count_nonfinite, trainer.py:580-586)."""
     bad = {}
@@ -298,8 +319,22 @@ class Trainer:
                          "max_instances", "max_render_instances",
                          "chunk_size", "raster_backend"}
         if renderer_keys & set(kwargs):
+            if self.mesh is not None:
+                # the DP/PP/2D-mesh train step is built once in __init__
+                # with the old RasterConfig baked in; silently keeping it
+                # would make training and eval diverge after the toggle
+                raise ValueError(
+                    "update_config cannot change renderer settings "
+                    f"({sorted(renderer_keys & set(kwargs))}) on a "
+                    "multi-chip Trainer — restart with the new config")
             if getattr(self, "_step_cache", None) is not None:
                 self._step_cache = {}
+                # re-anchor the bucket to the NEW capacities, else the next
+                # step recompiles at the stale sizes
+                rc = self.config.raster_config()
+                self._bucket = (rc.max_instances,
+                                rc.max_render_instances or rc.max_instances)
+                self._shrink_streak = 0
             self._eval_render = jax.jit(functools.partial(
                 eval_image_device,
                 scene_config=self.config.scene,
@@ -563,32 +598,14 @@ class Trainer:
         # scatter costs scale ~linearly with the static capacities, so a
         # coarse ladder wastes up to 33% capacity headroom as real
         # milliseconds. Fine rungs are used when SHRINKING to a stable
-        # occupancy; growth uses _coarse_ladder (below) because each rung
+        # occupancy; growth uses the coarse rungs because each rung
         # crossed is a full re-jit (~2-3 min through the remote compile
         # helper) and densification crosses rungs monotonically.
-        vals = {ceiling}
-        v = max(k * 64, 1 << 13)
-        while v < ceiling:
-            for num in (8, 9, 10, 11, 12, 13, 14, 15):
-                r = v * num // 8
-                if r < ceiling and r % k == 0:
-                    vals.add(r)
-            v *= 2
-        return sorted(vals)
+        return capacity_ladder(ceiling, k, FINE_RUNGS)
 
     def _coarse_ladder(self):
         rc = self.config.raster_config()
-        ceiling = rc.max_instances
-        k = rc.chunk_size
-        vals = {ceiling}
-        v = max(k * 64, 1 << 13)
-        while v < ceiling:
-            for num in (2, 3):
-                r = v * num // 2
-                if r < ceiling and r % k == 0:
-                    vals.add(r)
-            v *= 2
-        return sorted(vals)
+        return capacity_ladder(rc.max_instances, rc.chunk_size, COARSE_RUNGS)
 
     def _ladder_fit(self, need: int, coarse: bool = False) -> int:
         ladder = self._coarse_ladder() if coarse else self._capacity_ladder()
@@ -765,8 +782,17 @@ class Trainer:
                 # at densify cadence, not in the hot loop.
                 last = getattr(self, "_last_metrics", None)
                 clipped = int(last.clipped_instances) if last is not None else 0
+                # bucket-lag clipping is transient (the bucketed step grows
+                # at the next logging step) — only ceiling clipping may
+                # freeze the point schedule
+                bucket = getattr(self, "_bucket", None)
+                rc_ceil = self.config.raster_config()
+                mr_ceil = rc_ceil.max_render_instances or rc_ceil.max_instances
+                can_grow = (bucket is not None
+                            and (bucket[0] < rc_ceil.max_instances
+                                 or bucket[1] < mr_ceil))
                 ctl.note_clipping(clipped, self.config.max_instances,
-                                  self.progress)
+                                  self.progress, can_grow=can_grow)
                 args = ctl.densify_args(self.progress)
                 self.scene, self.pstate, metrics = self._densify.densify(
                     self.scene, self.pstate, self._next_key(),
