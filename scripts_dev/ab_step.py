@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--bf16-pack", action="store_true",
                     help="enable RasterConfig.grad_bf16_pack (halved "
                          "backward gid-sort payload lanes)")
+    ap.add_argument("--tiles-per-block", type=int, default=0,
+                    help="tiles composited per Pallas grid step (amortizes "
+                         "per-grid-step overhead; try 4/8)")
     ap.add_argument("--occupancy", action="store_true",
                     help="print post-cull instance counts and exit")
     args = ap.parse_args()
@@ -60,6 +63,8 @@ def main():
         rcfg = dataclasses.replace(rcfg, tile_size=args.tile_size)
     if args.bf16_pack:
         rcfg = dataclasses.replace(rcfg, grad_bf16_pack=True)
+    if args.tiles_per_block:
+        rcfg = dataclasses.replace(rcfg, tiles_per_block=args.tiles_per_block)
     pstate = PointState.new_zeros(scene.capacity)
     w, h = camera_table.image_size
 

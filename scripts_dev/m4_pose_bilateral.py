@@ -231,6 +231,11 @@ def run_arm_v2(name: str, *, out: Path, pose_noise: float, jitter: float,
 
 
 def main():
+    if os.environ.get("M4_FORCE_CPU"):
+        # sitecustomize forces the axon TPU platform regardless of
+        # JAX_PLATFORMS; this must run before any device access
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--out", default="runs")

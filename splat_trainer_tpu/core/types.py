@@ -169,6 +169,11 @@ class RasterConfig:
     # BEFORE the f32 per-gaussian summation; quality-gate on-chip before
     # defaulting on.
     grad_bf16_pack: bool = False
+    # tiles composited per Pallas grid step (statically unrolled): amortizes
+    # per-grid-step overhead (scalar loads, output-block DMA, loop
+    # entry/exit) across G tiles — the kernels are latency-bound at ~3
+    # chunks/tile median, not compute-bound. 1 = one tile per step.
+    tiles_per_block: int = 1
 
     def __post_init__(self):
         assert self.max_instances % self.chunk_size == 0, \

@@ -138,103 +138,121 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     del vis_zero_ref  # aliased to vis_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
-    t = pl.program_id(0)
-
-    # tile ranges are chunk-aligned (ops/tiling.py): every chunk slab is
-    # exclusively owned by this tile, so per-instance output writes are pure
-    # (no cross-tile read-merge) and the grid runs tiles in parallel.
-    start = starts_ref[t]
-    end = start + counts_ref[t]
-    px, py, valid_px = _pixel_coords(t, grid, image_size)
-    c0, nch = _chunk_bounds(start, end, k)
+    G = config.tiles_per_block
+    b = pl.program_id(0)
     u_strict = _triu_strict(k)
 
-    def inst_copy(i, slot):
-        off = (c0 + i) * k
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, k)], inst_buf.at[slot], in_sem.at[slot])
+    def one_tile(g, t):
+        # tile ranges are chunk-aligned (ops/tiling.py): every chunk slab
+        # is exclusively owned by this tile, so per-instance output writes
+        # are pure (no cross-tile read-merge) and the grid runs blocks of
+        # tiles in parallel.
+        start = starts_ref[t]
+        end = start + counts_ref[t]
+        px, py, valid_px = _pixel_coords(t, grid, image_size)
+        c0, nch = _chunk_bounds(start, end, k)
 
-    @pl.when(nch > 0)
-    def _():
-        inst_copy(0, 0).start()
+        def inst_copy(i, slot):
+            off = (c0 + i) * k
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, k)], inst_buf.at[slot],
+                in_sem.at[slot])
 
-    def cond(carry):
-        i, T, _rgb, _med = carry
-        return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
-
-    def vis_copy(i, slot):
-        off = (c0 + i) * k
-        return pltpu.make_async_copy(
-            vis_buf.at[slot], vis_ref.at[:, pl.ds(off, k)], vis_sem.at[slot])
-
-    def body(carry):
-        i, T, rgb, med = carry
-        off = (c0 + i) * k
-        slot = lax.rem(i, 2)
-
-        inst_copy(i, slot).wait()
-
-        @pl.when(i + 1 < nch)
+        @pl.when(nch > 0)
         def _():
-            inst_copy(i + 1, 1 - slot).start()
+            inst_copy(0, 0).start()
 
-        data = inst_buf[slot]
-        alpha, _expp, _dx, _dy, _con = _chunk_geometry(
-            data, px, py, start, end, off, valid_px, config, k)
+        def cond(carry):
+            i, T, _rgb, _med = carry
+            return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
 
-        # transmittance as a log-space prefix product on the MXU:
-        # T_excl_j = T * exp(sum_{i<j} log(1 - a_i));  a <= alpha_clamp < 1
-        logom = jnp.log1p(-alpha)
-        cumlog_excl = _cumsum_excl(logom, u_strict)
-        T_excl = T * jnp.exp(cumlog_excl)             # (P, K)
-        w = alpha * T_excl
-        T_last = T * jnp.exp(cumlog_excl[:, k - 1:k] + logom[:, k - 1:k])
+        def vis_copy(i, slot):
+            off = (c0 + i) * k
+            return pltpu.make_async_copy(
+                vis_buf.at[slot], vis_ref.at[:, pl.ds(off, k)],
+                vis_sem.at[slot])
 
-        col = data[6:9, :]                            # (3, K)
-        rgb = rgb + lax.dot_general(
-            col, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        def body(carry):
+            i, T, rgb, med = carry
+            off = (c0 + i) * k
+            slot = lax.rem(i, 2)
 
-        T_incl = T_excl * (1.0 - alpha)
-        crossed = ((T_incl <= 0.5) & (T_excl > 0.5)).astype(jnp.float32)
-        med = med + lax.dot_general(
-            data[9:10, :], crossed, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (1, P)
+            inst_copy(i, slot).wait()
 
-        # per-instance visibility: pure double-buffered write (the slab is
-        # exclusively ours). Wait for this slot's previous write (i-2) before
-        # overwriting the buffer.
-        @pl.when(i >= 2)
+            @pl.when(i + 1 < nch)
+            def _():
+                inst_copy(i + 1, 1 - slot).start()
+
+            data = inst_buf[slot]
+            alpha, _expp, _dx, _dy, _con = _chunk_geometry(
+                data, px, py, start, end, off, valid_px, config, k)
+
+            # transmittance as a log-space prefix product on the MXU:
+            # T_excl_j = T * exp(sum_{i<j} log(1 - a_i)); a <= alpha_clamp < 1
+            logom = jnp.log1p(-alpha)
+            cumlog_excl = _cumsum_excl(logom, u_strict)
+            T_excl = T * jnp.exp(cumlog_excl)             # (P, K)
+            w = alpha * T_excl
+            T_last = T * jnp.exp(cumlog_excl[:, k - 1:k] + logom[:, k - 1:k])
+
+            col = data[6:9, :]                            # (3, K)
+            rgb = rgb + lax.dot_general(
+                col, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            T_incl = T_excl * (1.0 - alpha)
+            crossed = ((T_incl <= 0.5) & (T_excl > 0.5)).astype(jnp.float32)
+            med = med + lax.dot_general(
+                data[9:10, :], crossed, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (1, P)
+
+            # per-instance visibility: pure double-buffered write (the slab
+            # is exclusively ours). Wait for this slot's previous write
+            # (i-2) before overwriting the buffer.
+            @pl.when(i >= 2)
+            def _():
+                vis_copy(i - 2, slot).wait()
+
+            vis_buf[slot] = jnp.sum(w, axis=0, keepdims=True)
+            vis_copy(i, slot).start()
+
+            return i + 1, T_last, rgb, med
+
+        T0 = jnp.ones((p, 1), jnp.float32)
+        rgb0 = jnp.zeros((3, p), jnp.float32)
+        med0 = jnp.zeros((1, p), jnp.float32)
+        i_end, T, rgb, med = lax.while_loop(
+            cond, body, (jnp.int32(0), T0, rgb0, med0))
+
+        # drain the in-flight prefetch if the loop exited early, and the
+        # last two outstanding visibility writes — the scratch buffers and
+        # semaphores are reused by the next tile in this block
+        @pl.when(i_end < nch)
         def _():
-            vis_copy(i - 2, slot).wait()
+            inst_copy(i_end, lax.rem(i_end, 2)).wait()
 
-        vis_buf[slot] = jnp.sum(w, axis=0, keepdims=True)
-        vis_copy(i, slot).start()
+        @pl.when(i_end >= 2)
+        def _():
+            vis_copy(i_end - 2, lax.rem(i_end - 2, 2)).wait()
 
-        return i + 1, T_last, rgb, med
+        @pl.when(i_end >= 1)
+        def _():
+            vis_copy(i_end - 1, lax.rem(i_end - 1, 2)).wait()
 
-    T0 = jnp.ones((p, 1), jnp.float32)
-    rgb0 = jnp.zeros((3, p), jnp.float32)
-    med0 = jnp.zeros((1, p), jnp.float32)
-    i_end, T, rgb, med = lax.while_loop(cond, body, (jnp.int32(0), T0, rgb0, med0))
+        out_ref[g, 0:3, :] = rgb
+        out_ref[g, 3:4, :] = T.reshape(1, p)
+        out_ref[g, 4:5, :] = med
+        out_ref[g, 5:8, :] = jnp.zeros((3, p), jnp.float32)
 
-    # drain the in-flight prefetch if the loop exited early, and the last
-    # two outstanding visibility writes
-    @pl.when(i_end < nch)
-    def _():
-        inst_copy(i_end, lax.rem(i_end, 2)).wait()
-
-    @pl.when(i_end >= 2)
-    def _():
-        vis_copy(i_end - 2, lax.rem(i_end - 2, 2)).wait()
-
-    @pl.when(i_end >= 1)
-    def _():
-        vis_copy(i_end - 1, lax.rem(i_end - 1, 2)).wait()
-
-    out_ref[0, 0:3, :] = rgb
-    out_ref[0, 3:4, :] = T.reshape(1, p)
-    out_ref[0, 4:5, :] = med
-    out_ref[0, 5:8, :] = jnp.zeros((3, p), jnp.float32)
+    # statically unrolled: G tiles share one grid step's setup/teardown and
+    # output-block DMA. Tail-block tiles past num_tiles are skipped (their
+    # out rows carry garbage; the caller slices them off).
+    for g in range(G):
+        t = b * G + g
+        if G == 1:
+            one_tile(g, t)
+        else:
+            pl.when(t < grid.num_tiles)(lambda g=g, t=t: one_tile(g, t))
 
 
 def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
@@ -250,17 +268,19 @@ def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
     m = inst_data.shape[1]
     p = grid.tile_size * grid.tile_size
     k = config.chunk_size
+    G = config.tiles_per_block
+    nb = -(-grid.num_tiles // G)
 
     kernel = functools.partial(_fwd_kernel, grid, image_size, config)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(grid.num_tiles,),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
             pl.BlockSpec(memory_space=pltpu.ANY),   # vis zeros (aliased)
         ],
         out_specs=[
-            pl.BlockSpec((1, IMG_ROWS, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((G, IMG_ROWS, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # vis out
         ],
@@ -277,7 +297,7 @@ def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((grid.num_tiles, IMG_ROWS, p), jnp.float32),
+            jax.ShapeDtypeStruct((nb * G, IMG_ROWS, p), jnp.float32),
             jax.ShapeDtypeStruct((1, m), jnp.float32),
         ],
         input_output_aliases={3: 1},  # vis zeros (arg after scalar prefetch) -> vis out
@@ -286,6 +306,8 @@ def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
         ),
         interpret=interpret,
     )(tile_starts, tile_counts, inst_data, vis_zero)
+    if nb * G != grid.num_tiles:
+        tile_img = tile_img[:grid.num_tiles]
     return tile_img, inst_vis
 
 
@@ -301,124 +323,137 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     del grad_zero_ref  # aliased to grad_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
-    t = pl.program_id(0)
-
-    # chunk-aligned ranges: slabs exclusively owned, pure writes, parallel grid
-    start = starts_ref[t]
-    end = start + counts_ref[t]
-    px, py, valid_px = _pixel_coords(t, grid, image_size)
-    c0, nch = _chunk_bounds(start, end, k)
+    Gt = config.tiles_per_block
+    b = pl.program_id(0)
     u_strict = _triu_strict(k)
 
-    def inst_copy(i, slot):
-        off = (c0 + i) * k
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, k)], inst_buf.at[slot], in_sem.at[slot])
+    def one_tile(bg, t):
+        # chunk-aligned ranges: slabs exclusively owned, pure writes,
+        # parallel grid over tile blocks
+        start = starts_ref[t]
+        end = start + counts_ref[t]
+        px, py, valid_px = _pixel_coords(t, grid, image_size)
+        c0, nch = _chunk_bounds(start, end, k)
 
-    def grad_copy(i, slot):
-        off = (c0 + i) * k
-        return pltpu.make_async_copy(
-            grad_buf.at[slot], grad_ref.at[:, pl.ds(off, k)], grad_sem.at[slot])
+        def inst_copy(i, slot):
+            off = (c0 + i) * k
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, k)], inst_buf.at[slot],
+                in_sem.at[slot])
 
-    @pl.when(nch > 0)
-    def _():
-        inst_copy(0, 0).start()
+        def grad_copy(i, slot):
+            off = (c0 + i) * k
+            return pltpu.make_async_copy(
+                grad_buf.at[slot], grad_ref.at[:, pl.ds(off, k)],
+                grad_sem.at[slot])
 
-    g = ct_ref[0, 0:3, :]                         # (3, P) image cotangent
-    ct_T = ct_ref[0, 3:4, :].reshape(p, 1)        # final-transmittance cotangent
-    Cfin = img_ref[0, 0:3, :]
-    Tfin = img_ref[0, 3:4, :].reshape(p, 1)
-    F = jnp.sum(Cfin * g, axis=0, keepdims=True).reshape(p, 1)
-    gmag = jnp.sum(jnp.abs(g), axis=0, keepdims=True).reshape(p, 1)
-
-    def cond(carry):
-        i, T, _S = carry
-        return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
-
-    def body(carry):
-        i, T, S = carry
-        off = (c0 + i) * k
-        slot = lax.rem(i, 2)
-
-        inst_copy(i, slot).wait()
-
-        @pl.when(i + 1 < nch)
+        @pl.when(nch > 0)
         def _():
-            inst_copy(i + 1, 1 - slot).start()
+            inst_copy(0, 0).start()
 
-        data = inst_buf[slot]
-        alpha, expp, dx, dy, (ca, cb, cc) = _chunk_geometry(
-            data, px, py, start, end, off, valid_px, config, k)
+        g = ct_ref[bg, 0:3, :]                      # (3, P) image cotangent
+        ct_T = ct_ref[bg, 3:4, :].reshape(p, 1)     # final-transmittance ct
+        Cfin = img_ref[bg, 0:3, :]
+        Tfin = img_ref[bg, 3:4, :].reshape(p, 1)
+        F = jnp.sum(Cfin * g, axis=0, keepdims=True).reshape(p, 1)
+        gmag = jnp.sum(jnp.abs(g), axis=0, keepdims=True).reshape(p, 1)
 
-        om = 1.0 - alpha
-        logom = jnp.log1p(-alpha)
-        cumlog_excl = _cumsum_excl(logom, u_strict)
-        T_excl = T * jnp.exp(cumlog_excl)
-        w = alpha * T_excl                            # (P, K)
-        T_last = T * jnp.exp(cumlog_excl[:, k - 1:k] + logom[:, k - 1:k])
+        def cond(carry):
+            i, T, _S = carry
+            return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
 
-        col = data[6:9, :]                            # (3, K)
-        cg = lax.dot_general(g, col, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # (P, K)
-        wcg = w * cg
-        # inclusive prefix on the MXU: exclusive + diagonal term
-        prefix = S + _cumsum_excl(wcg, u_strict) + wcg
-        Sg_after = F - prefix
+        def body(carry):
+            i, T, S = carry
+            off = (c0 + i) * k
+            slot = lax.rem(i, 2)
 
-        safe_om = jnp.maximum(om, 1e-6)
-        d_alpha = T_excl * cg - Sg_after / safe_om
-        d_alpha = d_alpha - ct_T * Tfin / safe_om     # dTfin/da_k = -Tfin/(1-a_k)
-        d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+            inst_copy(i, slot).wait()
 
-        unclamped = alpha < config.alpha_clamp
-        G = jnp.where(alpha > 0.0, expp, 0.0)
-        d_al_u = jnp.where(unclamped, d_alpha, 0.0)
-        dop = jnp.sum(d_al_u * G, axis=0, keepdims=True)           # (1, K)
-        dpow = d_al_u * alpha                                      # (P, K)
+            @pl.when(i + 1 < nch)
+            def _():
+                inst_copy(i + 1, 1 - slot).start()
 
-        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0, keepdims=True)
-        dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=0, keepdims=True)
-        dca = jnp.sum(-0.5 * dpow * dx * dx, axis=0, keepdims=True)
-        dcb = jnp.sum(-dpow * dx * dy, axis=0, keepdims=True)
-        dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=0, keepdims=True)
-        dcol = lax.dot_general(g, w, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (3, K)
-        prune = jnp.sum(w * gmag, axis=0, keepdims=True)
+            data = inst_buf[slot]
+            alpha, expp, dx, dy, (ca, cb, cc) = _chunk_geometry(
+                data, px, py, start, end, off, valid_px, config, k)
 
-        # pack the gradient slab; the slab is exclusively ours, so this is a
-        # pure double-buffered write (wait for this slot's i-2 write first)
-        @pl.when(i >= 2)
+            om = 1.0 - alpha
+            logom = jnp.log1p(-alpha)
+            cumlog_excl = _cumsum_excl(logom, u_strict)
+            T_excl = T * jnp.exp(cumlog_excl)
+            w = alpha * T_excl                            # (P, K)
+            T_last = T * jnp.exp(cumlog_excl[:, k - 1:k] + logom[:, k - 1:k])
+
+            col = data[6:9, :]                            # (3, K)
+            cg = lax.dot_general(g, col, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (P, K)
+            wcg = w * cg
+            # inclusive prefix on the MXU: exclusive + diagonal term
+            prefix = S + _cumsum_excl(wcg, u_strict) + wcg
+            Sg_after = F - prefix
+
+            safe_om = jnp.maximum(om, 1e-6)
+            d_alpha = T_excl * cg - Sg_after / safe_om
+            d_alpha = d_alpha - ct_T * Tfin / safe_om  # dTfin/da_k = -Tfin/(1-a_k)
+            d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+
+            unclamped = alpha < config.alpha_clamp
+            Gm = jnp.where(alpha > 0.0, expp, 0.0)
+            d_al_u = jnp.where(unclamped, d_alpha, 0.0)
+            dop = jnp.sum(d_al_u * Gm, axis=0, keepdims=True)        # (1, K)
+            dpow = d_al_u * alpha                                    # (P, K)
+
+            dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0, keepdims=True)
+            dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=0, keepdims=True)
+            dca = jnp.sum(-0.5 * dpow * dx * dx, axis=0, keepdims=True)
+            dcb = jnp.sum(-dpow * dx * dy, axis=0, keepdims=True)
+            dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=0, keepdims=True)
+            dcol = lax.dot_general(g, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # (3, K)
+            prune = jnp.sum(w * gmag, axis=0, keepdims=True)
+
+            # pack the gradient slab; the slab is exclusively ours, so this
+            # is a pure double-buffered write (wait for this slot's i-2
+            # write first)
+            @pl.when(i >= 2)
+            def _():
+                grad_copy(i - 2, slot).wait()
+
+            grad_buf[slot, 0:1, :] = dmx
+            grad_buf[slot, 1:2, :] = dmy
+            grad_buf[slot, 2:3, :] = dca
+            grad_buf[slot, 3:4, :] = dcb
+            grad_buf[slot, 4:5, :] = dcc
+            grad_buf[slot, 5:6, :] = dop
+            grad_buf[slot, 6:9, :] = dcol
+            grad_buf[slot, 9:10, :] = prune
+            grad_buf[slot, 10:16, :] = jnp.zeros((6, k), jnp.float32)
+            grad_copy(i, slot).start()
+
+            return i + 1, T_last, prefix[:, k - 1:k]
+
+        T0 = jnp.ones((p, 1), jnp.float32)
+        S0 = jnp.zeros((p, 1), jnp.float32)
+        i_end, _T, _S = lax.while_loop(cond, body, (jnp.int32(0), T0, S0))
+
+        @pl.when(i_end < nch)
         def _():
-            grad_copy(i - 2, slot).wait()
+            inst_copy(i_end, lax.rem(i_end, 2)).wait()
 
-        grad_buf[slot, 0:1, :] = dmx
-        grad_buf[slot, 1:2, :] = dmy
-        grad_buf[slot, 2:3, :] = dca
-        grad_buf[slot, 3:4, :] = dcb
-        grad_buf[slot, 4:5, :] = dcc
-        grad_buf[slot, 5:6, :] = dop
-        grad_buf[slot, 6:9, :] = dcol
-        grad_buf[slot, 9:10, :] = prune
-        grad_buf[slot, 10:16, :] = jnp.zeros((6, k), jnp.float32)
-        grad_copy(i, slot).start()
+        @pl.when(i_end >= 2)
+        def _():
+            grad_copy(i_end - 2, lax.rem(i_end - 2, 2)).wait()
 
-        return i + 1, T_last, prefix[:, k - 1:k]
+        @pl.when(i_end >= 1)
+        def _():
+            grad_copy(i_end - 1, lax.rem(i_end - 1, 2)).wait()
 
-    T0 = jnp.ones((p, 1), jnp.float32)
-    S0 = jnp.zeros((p, 1), jnp.float32)
-    i_end, _T, _S = lax.while_loop(cond, body, (jnp.int32(0), T0, S0))
-
-    @pl.when(i_end < nch)
-    def _():
-        inst_copy(i_end, lax.rem(i_end, 2)).wait()
-
-    @pl.when(i_end >= 2)
-    def _():
-        grad_copy(i_end - 2, lax.rem(i_end - 2, 2)).wait()
-
-    @pl.when(i_end >= 1)
-    def _():
-        grad_copy(i_end - 1, lax.rem(i_end - 1, 2)).wait()
+    for bg in range(Gt):
+        t = b * Gt + bg
+        if Gt == 1:
+            one_tile(bg, t)
+        else:
+            pl.when(t < grid.num_tiles)(lambda bg=bg, t=t: one_tile(bg, t))
 
 
 def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
@@ -428,16 +463,22 @@ def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
     m = inst_data.shape[1]
     p = grid.tile_size * grid.tile_size
     k = config.chunk_size
+    G = config.tiles_per_block
+    nb = -(-grid.num_tiles // G)
+    if nb * G != grid.num_tiles:
+        pad = ((0, nb * G - grid.num_tiles), (0, 0), (0, 0))
+        ct_tile = jnp.pad(ct_tile, pad)
+        tile_img = jnp.pad(tile_img, pad)
 
     kernel = functools.partial(_bwd_kernel, grid, image_size, config)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(grid.num_tiles,),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
-            pl.BlockSpec((1, 4, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((G, 4, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # ct rows [rgb, dT]
-            pl.BlockSpec((1, IMG_ROWS, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((G, IMG_ROWS, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # fwd tile image
             pl.BlockSpec(memory_space=pltpu.ANY),   # grad zeros (aliased)
         ],

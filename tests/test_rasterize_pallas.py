@@ -133,6 +133,26 @@ def test_grad_bf16_pack_parity():
     np.testing.assert_array_equal(r32.image, r16.image)
 
 
+@pytest.mark.parametrize("tiles_per_block", [3, 4])
+def test_tiles_per_block_parity(tiles_per_block):
+    """tiles_per_block > 1 unrolls several tiles into one grid step; the
+    output and gradients must be identical to the one-tile-per-step path
+    (3 exercises a tail block: the 48x32 image has 3x2 = 6 tiles)."""
+    g, cam, config = setup(n=120, seed=3)
+    r1 = render_with("pallas", g, cam, config)
+    rg = render_with("pallas", g, cam,
+                     dict(config, tiles_per_block=tiles_per_block))
+    np.testing.assert_array_equal(r1.image, rg.image)
+    np.testing.assert_array_equal(r1.alpha, rg.alpha)
+    np.testing.assert_array_equal(r1.points.visibility, rg.points.visibility)
+
+    g1 = loss_and_grads("pallas", g, cam, config)
+    gg = loss_and_grads("pallas", g, cam,
+                        dict(config, tiles_per_block=tiles_per_block))
+    for a, b in zip(g1, gg):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_compacted_backward_parity():
     g, cam, config = setup(n=120, seed=3)
     gd = loss_and_grads("dense", g, cam, config)
