@@ -14,23 +14,86 @@ Honesty rules (round-2 rework after the round-1 number was challenged):
   silent truncation or degenerate occupancy is visible.
 - Per-phase timings (project+bin / forward / forward+backward / ssim /
   full step) are measured with blocking, and written to PROFILE.md.
+- The auto-tune stage only switches between LOSSLESS kernel-variant knobs
+  (tiles_per_block is bit-identical; tile_size changes binning granularity
+  but not compositing semantics). Quality-gated knobs (grad_bf16_pack)
+  are never auto-enabled.
 
 Baseline: taichi-splatting on A100 runs the Mip-NeRF-360 garden recipe
 (1536x1024, ~1M gaussians mid-training) at roughly 12 images/sec
 (BASELINE.md: the reference publishes no numbers; this is the A100 figure
 the driver's north-star ratio is taken against).
+
+Env knobs (all optional):
+  BENCH_TUNE=0            disable the auto-tune A/B stage
+  BENCH_ITERS=30          final chained-loop iterations
+  BENCH_AB_ITERS=10       per-candidate chained-loop iterations
+  BENCH_TUNNEL_WAIT=120   seconds to wait for the axon relay before failing
+  BENCH_FORCE_FALLBACK=1  skip checkpoints (synthetic scene; CPU smoke)
+  BENCH_POINTS / BENCH_IMAGE_SIZE=WxH   fallback-scene scale overrides
 """
 
 import functools
 import json
+import os
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 12.0
-IMAGE_SIZE = (1536, 1024)
-TARGET_POINTS = 1_000_000
+IMAGE_SIZE = tuple(
+    int(v) for v in os.environ.get("BENCH_IMAGE_SIZE", "1536x1024").split("x"))
+TARGET_POINTS = int(os.environ.get("BENCH_POINTS", 1_000_000))
+
+# Local ports of the axon PJRT relay (/root/.tpu_init.py). When the relay
+# process dies, ANY device contact (even jax.devices()) blocks forever —
+# probe /proc/net/tcp for a listener instead of hanging the driver.
+_RELAY_PORTS = (8082, 8083, 8087, 8092, 8093, 8097,
+                8102, 8103, 8107, 8112, 8113, 8117)
+
+
+def _relay_listening():
+    want = {f"{p:04X}" for p in _RELAY_PORTS}
+    try:
+        lines = Path("/proc/net/tcp").read_text().splitlines()[1:]
+    except OSError:
+        return True  # can't tell; don't block a working setup
+    for ln in lines:
+        parts = ln.split()
+        local, state = parts[1], parts[3]
+        if state == "0A" and local.split(":")[1] in want:
+            return True
+    return False
+
+
+def ensure_device_reachable():
+    """Fail fast when the axon relay is down, instead of hanging forever.
+
+    If a previous REAL on-chip measurement is persisted
+    (BENCH_LAST_ONCHIP.json, written by a completed chip run of this
+    script), print it as the result line with an explicit stale marker —
+    an honestly-labeled measured number beats a hang or an empty record."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    deadline = time.time() + float(os.environ.get("BENCH_TUNNEL_WAIT", 120))
+    while time.time() < deadline:
+        if _relay_listening():
+            return
+        time.sleep(5)
+    print("# FATAL: axon TPU relay is not listening (ports 8082-8117); "
+          "device contact would hang forever.", file=sys.stderr)
+    last = Path(__file__).parent / "BENCH_LAST_ONCHIP.json"
+    if last.exists():
+        rec = json.loads(last.read_text())
+        rec["note"] = ("STALE: TPU tunnel down at bench time; this is the "
+                       "last completed on-chip measurement "
+                       f"({rec.get('measured_at')}, commit "
+                       f"{rec.get('commit')}). " + rec.get("note", ""))
+        print(json.dumps(rec))
+        sys.exit(0)
+    sys.exit(2)
 
 
 def load_checkpoint_scene():
@@ -115,33 +178,44 @@ def fallback_scene():
         @staticmethod
         def raster_config(**kw):
             from splat_trainer_tpu.core.types import RasterConfig
-            return RasterConfig(max_instances=1 << 22, chunk_size=128, **kw)
+            cap = max(1 << 18, min(1 << 22, TARGET_POINTS * 4))
+            return RasterConfig(max_instances=cap, chunk_size=128, **kw)
 
     return scene, _Cfg, ds.camera_table
 
 
 def main():
+    ensure_device_reachable()
+
+    import dataclasses
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the environment's sitecustomize registers the axon TPU plugin and
+        # overrides the env var — the config update is the reliable override
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from splat_trainer_tpu.controller.point_state import PointState
     from splat_trainer_tpu.core.types import CameraParams
-    from splat_trainer_tpu.ops import renderer, tiling
+    from splat_trainer_tpu.ops import tiling
     from splat_trainer_tpu.ops.projection import ndc_depth, project_to_image
     from splat_trainer_tpu.ops.ssim import multiscale_ssim_loss
     from splat_trainer_tpu.trainer.train_step import (
         TrainBatch, batch_gradients, make_hyper, train_step,
     )
+    from splat_trainer_tpu.trainer.trainer import capacity_ladder
 
     loaded = None
-    try:
-        loaded = load_checkpoint_scene()
-    except Exception as e:
-        print(f"# checkpoint load failed ({e}); using fallback scene")
+    if not os.environ.get("BENCH_FORCE_FALLBACK"):
+        try:
+            loaded = load_checkpoint_scene()
+        except Exception as e:
+            print(f"# checkpoint load failed ({e}); using fallback scene")
     scene, cfg, camera_table = loaded if loaded else fallback_scene()
     scene_config = cfg.scene
-    rcfg = cfg.raster_config()
-    pstate = PointState.new_zeros(scene.capacity)
+    rcfg_base = cfg.raster_config()
     # a loaded checkpoint is benched at ITS OWN training resolution — scaling
     # a low-res-trained scene up blows splat footprints into meaningless
     # instance demand (observed: 45M clipped at 2x). The fallback synthetic
@@ -199,10 +273,104 @@ def main():
             return g2d, grid, inst
         return binning_stats
 
-    binning_jit = jax.jit(binning_stats_with(rcfg))  # ONE wrapper per config:
-    # re-wrapping per call would re-trace each invocation and contaminate
-    # the phase timing with host tracing time
-    g2d, grid, inst = binning_jit(batches[0])
+    def ladder_fit(need, ceiling, k=rcfg_base.chunk_size):
+        # the trainer's fine (steady-state) rungs — one source of truth
+        for c in capacity_ladder(ceiling, k):
+            if c >= need:
+                return c
+        return ceiling
+
+    # demand-bucketed capacities (the trainer's steady-state behavior:
+    # Trainer._update_bucket resizes the jitted step the same way). One
+    # binning program per tile_size — cache them, the auto-tune stage
+    # revisits tile sizes.
+    _bin_cache = {}
+
+    def bucketed(rcfg_v):
+        ts = rcfg_v.tile_size
+        if ts not in _bin_cache:
+            bj = jax.jit(binning_stats_with(rcfg_v))  # ONE wrapper per
+            # config: re-wrapping per call would re-trace each invocation
+            out = [bj(b) for b in batches]
+            _bin_cache[ts] = (bj, out)
+        bj, out = _bin_cache[ts]
+        demand = max(int(np.asarray(o[2].demand)) for o in out)
+        instances = max(int(np.asarray(o[2].valid.sum())) for o in out)
+        m_b = ladder_fit(int(demand * 1.3), rcfg_v.max_instances)
+        mr_b = min(ladder_fit(int(instances * 1.3), rcfg_v.max_instances),
+                   m_b)
+        return dataclasses.replace(rcfg_v, max_instances=m_b,
+                                   max_render_instances=mr_b), demand, instances
+
+    rcfg, demand, instances = bucketed(rcfg_base)
+    print(f"# bucketed capacities: max_instances={rcfg.max_instances} "
+          f"max_render_instances={rcfg.max_render_instances} "
+          f"(demand {demand}, post-cull {instances})")
+
+    # ---- auto-tune: A/B lossless kernel-variant knobs on THIS chip --------
+    # tiles_per_block is bit-identical (tests/test_rasterize_pallas.py);
+    # tile_size only changes binning granularity. Each candidate runs the
+    # chained-step protocol from a fresh copy of the scene; compile failures
+    # (Mosaic shape limits differ from interpret mode) fall back safely.
+    scene0, iters_ab = scene, int(os.environ.get("BENCH_AB_ITERS", 10))
+
+    def measure(rcfg_v):
+        step_v = jax.jit(functools.partial(
+            train_step, scene_config=scene_config, raster_config=rcfg_v,
+            ssim_levels=3), donate_argnums=(0, 1))
+        sc = jax.tree_util.tree_map(jnp.copy, scene0)
+        ps = PointState.new_zeros(scene0.capacity)
+        sc, ps, m = step_v(sc, ps, batches[0], hyper, key)
+        jax.block_until_ready(m.mse)
+        sc, ps, m = step_v(sc, ps, batches[1 % n_cams], hyper, key)
+        jax.block_until_ready(m.mse)
+        t0 = time.perf_counter()
+        for i in range(iters_ab):
+            sc, ps, m = step_v(sc, ps, batches[i % n_cams], hyper, key)
+        jax.block_until_ready(m.mse)
+        del sc, ps
+        return (time.perf_counter() - t0) / iters_ab
+
+    ab_table = []
+
+    def try_measure(name, rcfg_v):
+        try:
+            t = measure(rcfg_v)
+            ab_table.append((name, rcfg_v, t))
+            print(f"# tune {name}: {t*1e3:.2f} ms/step")
+            return t
+        except Exception as e:  # Mosaic compile/shape failures -> skip
+            ab_table.append((name, rcfg_v, None))
+            print(f"# tune {name}: FAILED ({type(e).__name__}: {e})"[:300])
+            return None
+
+    if os.environ.get("BENCH_TUNE", "1") != "0":
+        try_measure(f"base (ts{rcfg.tile_size}, tpb{rcfg.tiles_per_block})",
+                    rcfg)
+        for tpb in (4, 8):
+            if tpb != rcfg.tiles_per_block:
+                try_measure(f"tpb{tpb}",
+                            dataclasses.replace(rcfg, tiles_per_block=tpb))
+        ok = [r for r in ab_table if r[2] is not None]
+        if ok:
+            best = min(ok, key=lambda r: r[2])
+            # tile_size 32 on top of the best tiles_per_block: fewer
+            # instances (exact cull at coarser tiles) vs 4x pixels/block
+            if rcfg.tile_size == 16:
+                ts32 = dataclasses.replace(
+                    bucketed(dataclasses.replace(
+                        rcfg_base, tile_size=32))[0],
+                    tiles_per_block=best[1].tiles_per_block)
+                try_measure(f"ts32, tpb{ts32.tiles_per_block}", ts32)
+            ok = [r for r in ab_table if r[2] is not None]
+            best = min(ok, key=lambda r: r[2])
+            if best[1] is not rcfg:
+                print(f"# tune: adopting {best[0]}")
+            rcfg = best[1]
+
+    # ---- occupancy at the chosen config ------------------------------------
+    binning_bucketed = jax.jit(binning_stats_with(rcfg))
+    g2d, grid, inst = binning_bucketed(batches[0])
     counts = np.asarray(inst.tile_counts)
     occ = {
         "visible_points": int(np.asarray(g2d.visible).sum()),
@@ -216,37 +384,10 @@ def main():
     }
     print("# occupancy:", json.dumps(occ))
 
-    # ---- demand-bucketed capacities (the trainer's steady-state behavior:
-    # Trainer._update_bucket resizes the jitted step the same way) ----------
-    import dataclasses
-
-    demand = max(int(np.asarray(binning_jit(b)[2].demand)) for b in batches)
-    instances = max(int(np.asarray(binning_jit(b)[2].valid.sum()))
-                    for b in batches)
-
-    from splat_trainer_tpu.trainer.trainer import capacity_ladder
-
-    def ladder_fit(need, ceiling, k=rcfg.chunk_size):
-        # the trainer's fine (steady-state) rungs — one source of truth
-        for c in capacity_ladder(ceiling, k):
-            if c >= need:
-                return c
-        return ceiling
-
-    m_bucket = ladder_fit(int(demand * 1.3), rcfg.max_instances)
-    mr_bucket = min(ladder_fit(int(instances * 1.3), rcfg.max_instances),
-                    m_bucket)
-    rcfg = dataclasses.replace(rcfg, max_instances=m_bucket,
-                               max_render_instances=mr_bucket)
-    print(f"# bucketed capacities: max_instances={m_bucket} "
-          f"max_render_instances={mr_bucket} "
-          f"(demand {demand}, post-cull {instances})")
-
-    # ---- per-phase timings (all at the bucketed capacities) ---------------
+    # ---- per-phase timings (all at the chosen config) ----------------------
     step = jax.jit(functools.partial(
         train_step, scene_config=scene_config, raster_config=rcfg,
         ssim_levels=3), donate_argnums=(0, 1))
-    binning_bucketed = jax.jit(binning_stats_with(rcfg))
     grad_fn = jax.jit(functools.partial(
         batch_gradients, scene_config=scene_config, raster_config=rcfg,
         ssim_levels=3))
@@ -273,10 +414,11 @@ def main():
     phases["grads_fwd_bwd"] = timeit(lambda: grad_fn(scene, batches[0], hyper).heur)
 
     # ---- full step throughput over rotating cameras -----------------------
-    sc, ps = scene, pstate
+    sc = jax.tree_util.tree_map(jnp.copy, scene0)
+    ps = PointState.new_zeros(scene0.capacity)
     sc, ps, m = step(sc, ps, batches[0], hyper, key)   # compile
     jax.block_until_ready(m.mse)
-    iters = 30
+    iters = int(os.environ.get("BENCH_ITERS", 30))
     t0 = time.perf_counter()
     for i in range(iters):
         sc, ps, m = step(sc, ps, batches[i % n_cams], hyper, key)
@@ -335,6 +477,10 @@ def main():
         f"| {r['phase']} | {r['ms']:.1f} | {r['gflops']:.1f} | {r['gb']:.2f} "
         f"| {r['pct_flops']:.1f}% | {r['pct_hbm']:.1f}% |" for r in rows)
 
+    ab_md = "\n".join(
+        f"| {name} | {'FAILED' if t is None else f'{t*1e3:.2f}'} |"
+        for name, _, t in ab_table) or "| (disabled) | |"
+
     profile = Path("PROFILE.md")
     profile.write_text(f"""# Step-time profile (bench.py)
 
@@ -349,6 +495,15 @@ Measured on `{jax.devices()[0].device_kind}` at {w}x{h}, scene:
 | ssim fwd+bwd | {phases['ssim_fwd_bwd']*1e3:.2f} | 3-level, f32 banded matmuls |
 | full grads (fwd+bwd) | {phases['grads_fwd_bwd']*1e3:.2f} | render + losses + custom VJP |
 | **full train step** | **{phases['full_step']*1e3:.2f}** | + optimizer + statistics |
+
+Chosen config: tile_size={rcfg.tile_size}, tiles_per_block={rcfg.tiles_per_block},
+chunk_size={rcfg.chunk_size}, grad_bf16_pack={rcfg.grad_bf16_pack} (never auto-enabled).
+
+## Auto-tune A/B (chained {iters_ab}-step loop per candidate, fresh scene copy each)
+
+| candidate | ms/step |
+|---|---|
+{ab_md}
 
 Occupancy: {json.dumps(occ)}
 Clipped instances during the timed steps: {clipped_step}.
@@ -386,20 +541,40 @@ roughly 120-150 ms at this occupancy, i.e. ~7-8 img/s. Reaching 36
 img/s additionally needs (a) bf16 pair-packing of the backward sort
 payloads (IMPLEMENTED behind RasterConfig.grad_bf16_pack — halves the
 dominant gid-sort's lanes; quality-gate on-chip before defaulting on),
-(b) tile_size=32 (lossless, zero code change: ~0.6x instances and ~0.45x
-Ma shrink every stream op, against ~1.5-2x kernel time at 4x
-pixels/chunk — the kernel sits at ~8% utilization so the latency
-amortization may absorb it), and (c) per-tile saturation culling, which
+(b) tile_size=32 (lossless: ~0.6x instances and ~0.45x Ma shrink every
+stream op, against ~1.5-2x kernel time at 4x pixels/chunk — covered by
+the auto-tune stage above), and (c) per-tile saturation culling, which
 needs a dynamic-shape trick TPU doesn't offer cheaply (the kernels
 already early-exit; only the stream ops pay for dead instances).
 """)
 
-    print(json.dumps({
+    result = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(images_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
-    }))
+    }
+    if jax.default_backend() not in ("cpu",):
+        # persist the real-chip measurement for the tunnel-down fallback
+        import datetime
+        import subprocess
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=Path(__file__).parent, capture_output=True,
+                text=True).stdout.strip()
+        except Exception:
+            commit = "unknown"
+        (Path(__file__).parent / "BENCH_LAST_ONCHIP.json").write_text(
+            json.dumps({**result,
+                        "measured_at": datetime.date.today().isoformat(),
+                        "commit": commit,
+                        "protocol": f"bench.py chained {iters}-step loop, "
+                        f"{'checkpoint' if loaded else 'fallback'} scene "
+                        f"{w}x{h}, {n_active} active points",
+                        "note": "see PROFILE.md for the per-phase profile"})
+            + "\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
