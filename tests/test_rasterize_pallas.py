@@ -153,6 +153,28 @@ def test_tiles_per_block_parity(tiles_per_block):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_tile_size_parity():
+    """tile_size only changes binning granularity (bench.py auto-tunes it):
+    the composite per pixel is the same depth-sorted instance set, so
+    outputs and gradients must match across tile sizes up to chunk-
+    association float noise."""
+    g, cam, config = setup(n=120, seed=3)
+    r16 = render_with("pallas", g, cam, config)
+    r32 = render_with("pallas", g, cam, dict(config, tile_size=32))
+    np.testing.assert_allclose(r32.image, r16.image, atol=2e-4)
+    np.testing.assert_allclose(r32.alpha, r16.alpha, atol=2e-4)
+    np.testing.assert_allclose(r32.points.visibility,
+                               r16.points.visibility, atol=2e-4)
+
+    g16 = loss_and_grads("pallas", g, cam, config)
+    g32 = loss_and_grads("pallas", g, cam, dict(config, tile_size=32))
+    names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
+    for name, a, b in zip(names, g16, g32):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-3 * scale, err_msg=name)
+
+
 def test_compacted_backward_parity():
     g, cam, config = setup(n=120, seed=3)
     gd = loss_and_grads("dense", g, cam, config)
