@@ -230,6 +230,128 @@ def run_arm_v2(name: str, *, out: Path, pose_noise: float, jitter: float,
     return result
 
 
+def run_arm_v3(name: str, *, out: Path, pose_noise: float, jitter: float,
+               fine_steps: int = 1500, num_images: int = 24,
+               image_size=(192, 128), points: int = 2000) -> dict:
+    """EM-style alternation (v3). v2's joint coarse stage FAILED on this
+    protocol (injected 3.83deg/0.20 -> 4.04deg/0.26 after stage 1): with
+    free geometry the scene explains the misalignment away faster than
+    poses correct, even at 1/4 resolution and damped lrs. v3 alternates:
+
+      A  (consensus): frozen poses, normal lrs, coarse res — the scene
+         converges to the blurry AVERAGE of the misaligned views, anchored
+         near truth by the SfM cloud init (true geometry) and by the noise
+         being zero-mean across cameras.
+      B  (align): EVERYTHING frozen except per-image pose deltas — each
+         camera independently aligns photometrically to the consensus,
+         contracting toward the mean (≈ truth). lr sized so ~25 visits
+         per camera cover the injected translation magnitude.
+      A2/B2: one more contraction round at gentler lr.
+      C  (fine joint): full res, poses + scene together, pose lr decaying.
+    """
+    import jax
+
+    from splat_trainer_tpu.color_corrector import BilateralCorrectorConfig
+    from splat_trainer_tpu.config import LogDecay
+    from splat_trainer_tpu.controller import DisabledConfig
+    from splat_trainer_tpu.data.procedural import ProceduralDataset
+    from splat_trainer_tpu.logger.tensorboard import TensorboardLogger
+    from splat_trainer_tpu.models.color_model import ColorModelConfig
+    from splat_trainer_tpu.models.mlp_scene import (
+        MLPSceneConfig, default_parameters,
+    )
+    from splat_trainer_tpu.trainer.config import TrainConfig
+    from splat_trainer_tpu.trainer.init import CloudInitConfig
+    from splat_trainer_tpu.trainer.trainer import Trainer
+    from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
+
+    def scaled_params(factor):
+        params = default_parameters()
+        return {k: dict(v, lr=v["lr"] * factor) for k, v in params.items()}
+
+    def scene_cfg(*, pose_lr, geom_factor=1.0, heads_frozen=False):
+        cm = (ColorModelConfig(lr_diffuse=0.0, lr_specular=0.0)
+              if heads_frozen else ColorModelConfig())
+        return MLPSceneConfig(
+            lr_pose=pose_lr,
+            parameters=scaled_params(geom_factor),
+            color_model=cm,
+            lr_glo_feature=0.0 if heads_frozen else 2.0)
+
+    common = dict(
+        controller=DisabledConfig(),
+        view_selection=RandomSamplerConfig(batch_size=1),
+        cloud_init=CloudInitConfig(initial_points=points,
+                                   limit_points=points // 2),
+        color_corrector=BilateralCorrectorConfig(),
+        target_points=points,
+        max_instances=1 << 21, chunk_size=128,
+        max_ssim_regression=1.0, save_checkpoints=False,
+        log_images=False, log_interval=50)
+
+    coarse_size = (image_size[0] // 2, image_size[1] // 2)
+    ds_coarse = ProceduralDataset(
+        num_images=num_images, image_size=coarse_size, split_every=8,
+        appearance_jitter=jitter, pose_noise=pose_noise, verbose=False)
+    ds_fine = ProceduralDataset(
+        num_images=num_images, image_size=image_size, split_every=8,
+        appearance_jitter=jitter, pose_noise=pose_noise, verbose=False)
+    true_poses = ds_fine.true_poses.astype(np.float64)
+
+    stages = [
+        # (tag, dataset, steps, scene config)
+        ("A_consensus", ds_coarse, 500, scene_cfg(pose_lr=0.0)),
+        ("B_align", ds_coarse, 600,
+         scene_cfg(pose_lr=2e-2, geom_factor=0.0, heads_frozen=True)),
+        ("A2_consensus", ds_coarse, 300, scene_cfg(pose_lr=0.0)),
+        ("B2_align", ds_coarse, 400,
+         scene_cfg(pose_lr=5e-3, geom_factor=0.0, heads_frozen=True)),
+        ("C_fine_joint", ds_fine, fine_steps,
+         scene_cfg(pose_lr=LogDecay(1e-3, 0.1))),
+    ]
+
+    run_dir = out / f"m4_{name}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(run_dir)
+    stage_errors = {}
+    try:
+        logger = TensorboardLogger("tensorboard")
+        scene = None
+        metrics = {}
+        for tag, ds, steps, scfg in stages:
+            cfg = TrainConfig(
+                total_steps=steps, eval_steps=steps, scene=scfg,
+                save_output=(tag == "C_fine_joint"), **common)
+            t = Trainer.initialize(cfg, ds, logger)
+            if scene is not None:
+                t.scene = scene
+            metrics = t.train()
+            scene = t.scene
+            t.close()
+            table = np.asarray(ds.camera_table.cameras.camera_t_world,
+                               np.float64)
+            stage_errors[tag] = pose_errors(table, true_poses, scene)
+            print(f"# {tag}: pose error {stage_errors[tag]}", flush=True)
+        table = np.asarray(ds_fine.camera_table.cameras.camera_t_world,
+                           np.float64)
+        result = {
+            "arm": name,
+            "steps": [s[2] for s in stages],
+            "val_psnr": metrics.get("val_psnr"),
+            "val_ssim": metrics.get("val_ssim"),
+            "val_cc_psnr": metrics.get("val_cc_psnr"),
+            "pose_error_injected": pose_errors(table, true_poses),
+            "pose_error_stages": stage_errors,
+            "pose_error_refined": pose_errors(table, true_poses, scene),
+        }
+    finally:
+        os.chdir(cwd)
+    (run_dir / "result.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result, indent=2), flush=True)
+    return result
+
+
 def main():
     if os.environ.get("M4_FORCE_CPU"):
         # sitecustomize forces the axon TPU platform regardless of
@@ -279,6 +401,10 @@ def main():
             "refined_v2", out=out, pose_noise=args.pose_noise,
             jitter=args.jitter, coarse_steps=args.coarse_steps,
             fine_steps=args.fine_steps, **scale))
+    if "refined_v3" in arms:
+        results.append(run_arm_v3(
+            "refined_v3", out=out, pose_noise=args.pose_noise,
+            jitter=args.jitter, fine_steps=args.fine_steps, **scale))
     print("\n== summary ==")
     for r in results:
         print(f"{r['arm']:8s} val_psnr={r['val_psnr']:.2f} "

@@ -852,9 +852,14 @@ class Trainer:
             ssim = metrics["train_ssim"]
             initial = self.evaluation_log[0].get("train_ssim", -1)
             prev = self.evaluation_log[-1].get("train_ssim", -1)
-            if ssim < initial:
+            # tolerance-gated: a trainer can start from an already-trained
+            # scene (staged pose-recovery, finetune), where the first eval
+            # is HIGH and a transient dip below it is expected — only a
+            # drop beyond the configured regression budget is a collapse
+            if ssim < initial - self.config.max_ssim_regression:
                 raise exception.NoProgressException(
-                    "ssim fell below the untrained value")
+                    "ssim fell below the initial value by more than "
+                    f"max_ssim_regression ({self.config.max_ssim_regression})")
             if prev > ssim + self.config.max_ssim_regression:
                 raise exception.NoProgressException(
                     f"ssim regression {prev:.4f} -> {ssim:.4f} exceeds "
