@@ -166,9 +166,10 @@ class RasterConfig:
     # one u32 sort payload (renderer._pack_grad_bf16): halves the dominant
     # gid-sort's payload lanes (measured ~0.8 ns/elem/lane at Ma on TPU).
     # Per-instance gradient values are quantized to bf16 (~0.4% relative)
-    # BEFORE the f32 per-gaussian summation; quality-gate on-chip before
-    # defaulting on.
-    grad_bf16_pack: bool = False
+    # BEFORE the f32 per-gaussian summation. Quality-gated ON by default:
+    # tests/test_golden_quality.py runs the pinned 200-step trajectory with
+    # this packing and holds the same ±0.4 dB band as the f32 path.
+    grad_bf16_pack: bool = True
     # tiles composited per Pallas grid step (statically unrolled): amortizes
     # per-grid-step overhead (scalar loads, output-block DMA, loop
     # entry/exit) across G tiles — the kernels are latency-bound at ~3

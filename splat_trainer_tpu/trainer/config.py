@@ -70,6 +70,9 @@ class TrainConfig:
     max_render_instances: int | None = None
     chunk_size: int = 128
     raster_backend: str = "auto"
+    # bf16-packed payload lanes in the backward's gid sort (see
+    # RasterConfig.grad_bf16_pack; golden-gated, off switch for A/B)
+    grad_bf16_pack: bool = True
     # re-jit the step at the smallest capacity ladder size fitting measured
     # instance demand (max_instances stays the ceiling). Binning/sort/
     # reduction costs scale with the STATIC sizes, so this is a large
@@ -111,6 +114,7 @@ class TrainConfig:
             max_render_instances=self.max_render_instances,
             chunk_size=self.chunk_size,
             backend=self.raster_backend,
+            grad_bf16_pack=self.grad_bf16_pack,
             render_median_depth=render_median_depth,
         )
 

@@ -37,7 +37,12 @@ TOLERANCE_DB = 0.4
 
 
 @pytest.mark.slow
-def test_golden_psnr_trajectory(tmp_path, monkeypatch):
+@pytest.mark.parametrize("grad_bf16_pack", [True, False],
+                         ids=["bf16-grads", "f32-grads"])
+def test_golden_psnr_trajectory(tmp_path, monkeypatch, grad_bf16_pack):
+    """Both gradient-reduction precisions must hold the pinned trajectory:
+    the bf16 sort-payload packing (the TPU default) is quality-gated by
+    the same ±TOLERANCE_DB band as the f32 path it replaces."""
     monkeypatch.chdir(tmp_path)
     os.environ["TQDM_DISABLE"] = "1"
 
@@ -57,6 +62,7 @@ def test_golden_psnr_trajectory(tmp_path, monkeypatch):
         log_interval=20,
         target_points=512,
         raster_backend="pallas",   # interpret mode on CPU — the TPU path
+        grad_bf16_pack=grad_bf16_pack,
         max_instances=1 << 14,
         chunk_size=16,
         save_output=False,
