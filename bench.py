@@ -351,6 +351,15 @@ def main():
             if tpb != rcfg.tiles_per_block:
                 try_measure(f"tpb{tpb}",
                             dataclasses.replace(rcfg, tiles_per_block=tpb))
+        # basis-matmul kernels (power + gradient moments on the MXU) vs the
+        # direct elementwise path — lossless (same math, matmul association)
+        try_measure(f"kernel_basis={not rcfg.kernel_basis}",
+                    dataclasses.replace(rcfg,
+                                        kernel_basis=not rcfg.kernel_basis))
+        # Hillis-Steele lane cumprod vs log-space MXU transmittance scan
+        try_measure(f"cumprod_scan={not rcfg.cumprod_scan}",
+                    dataclasses.replace(rcfg,
+                                        cumprod_scan=not rcfg.cumprod_scan))
         ok = [r for r in ab_table if r[2] is not None]
         if ok:
             best = min(ok, key=lambda r: r[2])

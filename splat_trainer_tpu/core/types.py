@@ -175,6 +175,25 @@ class RasterConfig:
     # entry/exit) across G tiles — the kernels are latency-bound at ~3
     # chunks/tile median, not compute-bound. 1 = one tile per step.
     tiles_per_block: int = 1
+    # evaluate the conic quadratic as ONE per-chunk MXU contraction of a
+    # per-tile pixel polynomial basis (1, x, y, x^2, xy, y^2) against
+    # per-instance coefficient rows, and reduce the backward's
+    # position/conic gradients as ONE basis^T @ dpow moments contraction —
+    # the kernels are VPU-bound on (P, K) elementwise passes while the MXU
+    # idles, so both rewrites trade ~10-20 VPU passes for one matmul each.
+    # Tile-local pixel coordinates keep the quadratic's terms O(tile_size)
+    # (no catastrophic cancellation). False = the direct elementwise path
+    # (kept for A/B and as the numeric oracle).
+    kernel_basis: bool = True
+    # transmittance prefix-product strategy inside the kernels:
+    #   False — log-space: log1p + MXU triangular matmul + exp (two VPU
+    #           transcendentals per chunk, scan itself rides the MXU)
+    #   True  — direct Hillis-Steele lane cumprod (log2(K) VPU
+    #           multiply+shift passes, no transcendentals)
+    # Which wins depends on the VPU transcendental cost vs K — bench.py
+    # A/Bs this knob on-chip. Products of (1 - alpha) in (0, 1] are
+    # numerically benign either way (no cancellation).
+    cumprod_scan: bool = False
 
     def __post_init__(self):
         assert self.max_instances % self.chunk_size == 0, \

@@ -80,9 +80,29 @@ def _cumsum_excl(x, u_strict):
                            preferred_element_type=jnp.float32)
 
 
+def _shift_lanes_one_fill(x, d: int):
+    """Shift (P, K) right by d lanes, filling with the product identity."""
+    p = x.shape[0]
+    return jnp.concatenate(
+        [jnp.ones((p, d), jnp.float32), x[:, :-d]], axis=1)
+
+
+def _cumprod_excl(om):
+    """Exclusive prefix product along lanes (Hillis-Steele, log2(K) VPU
+    multiply+shift passes) — the no-transcendental alternative to
+    exp(cumsum(log1p(-alpha))) (RasterConfig.cumprod_scan)."""
+    k = om.shape[1]
+    x = _shift_lanes_one_fill(om, 1)
+    d = 1
+    while d < k:
+        x = x * _shift_lanes_one_fill(x, d)
+        d *= 2
+    return x
+
+
 def _chunk_geometry(data, px, py, start, end, off, valid_px,
                     config: RasterConfig, k: int):
-    """Shared fwd/bwd per-chunk alpha computation.
+    """Shared fwd/bwd per-chunk alpha computation (elementwise path).
 
     data: (16, K) field rows; px/py/valid_px: (P, 1).
     Returns alpha (P, K) plus reusable intermediates.
@@ -102,6 +122,78 @@ def _chunk_geometry(data, px, py, start, end, off, valid_px,
     keep = (power <= 0.0) & (alpha >= config.alpha_threshold) & in_range & valid_px
     alpha = jnp.where(keep, alpha, 0.0)
     return alpha, expp, dx, dy, (ca, cb, cc)
+
+
+def _tile_basis(t, grid: TileGrid):
+    """Per-tile pixel polynomial basis in TILE-LOCAL coordinates.
+
+    Returns (basis (P, 6), cx, cy) with basis columns
+    [1, qx, qy, qx^2, qx*qy, qy^2], qx = px - cx, cx the tile center —
+    local coordinates keep every term O(tile_size) so the basis matmuls
+    below lose no mantissa to cancellation.
+    """
+    ts = grid.tile_size
+    p = ts * ts
+    tx = t % grid.ntx
+    ty = t // grid.ntx
+    pix = lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    half = 0.5 * ts
+    cx = tx.astype(jnp.float32) * ts + half
+    cy = ty.astype(jnp.float32) * ts + half
+    qx = (pix % ts).astype(jnp.float32) + 0.5 - half      # (P, 1)
+    qy = (pix // ts).astype(jnp.float32) + 0.5 - half
+    one = jnp.ones((p, 1), jnp.float32)
+    basis = jnp.concatenate(
+        [one, qx, qy, qx * qx, qx * qy, qy * qy], axis=1)  # (P, 6)
+    return basis, cx, cy
+
+
+def _tile_basis_t(t, grid: TileGrid):
+    """Transposed (6, P) pixel basis, built lane-major directly from iota
+    (a (P, 1) -> (1, P) reshape would be a sublane->lane relayout)."""
+    ts = grid.tile_size
+    p = ts * ts
+    half = 0.5 * ts
+    pix = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    qx = (pix % ts).astype(jnp.float32) + 0.5 - half      # (1, P)
+    qy = (pix // ts).astype(jnp.float32) + 0.5 - half
+    one = jnp.ones((1, p), jnp.float32)
+    return jnp.concatenate(
+        [one, qx, qy, qx * qx, qx * qy, qy * qy], axis=0)  # (6, P)
+
+
+def _chunk_geometry_basis(data, basis, cx, cy, start, end, off, valid_px,
+                          config: RasterConfig, k: int):
+    """Per-chunk alpha with the conic quadratic as ONE MXU contraction.
+
+    power(P, K) = basis(P, 6) @ coef(6, K): the per-instance coefficient
+    rows fold the mean/conic into the polynomial (tile-local coordinates),
+    so the whole (P, K) quadratic costs one matmul instead of ~9 VPU
+    passes. `power <= eps` keeps the exact-path predicate under matmul
+    roundoff (true power is always <= 0 for a PD conic).
+    """
+    mx, my = data[0:1, :], data[1:2, :]
+    ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
+    op = data[5:6, :]
+
+    mxq = mx - cx           # (1, K)
+    myq = my - cy
+    a0 = -0.5 * (ca * mxq * mxq + cc * myq * myq) - cb * mxq * myq
+    a1 = ca * mxq + cb * myq
+    a2 = cc * myq + cb * mxq
+    coef = jnp.concatenate(
+        [a0, a1, a2, -0.5 * ca, -cb, -0.5 * cc], axis=0)   # (6, K)
+    power = lax.dot_general(basis, coef, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    expp = jnp.exp(power)
+    alpha = jnp.minimum(op * expp, config.alpha_clamp)
+
+    ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    in_range = (ids >= start) & (ids < end)
+    keep = ((power <= 1e-3) & (alpha >= config.alpha_threshold)
+            & in_range & valid_px)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, (mxq, myq, ca, cb, cc, op)
 
 
 def _pixel_coords(t, grid: TileGrid, image_size):
@@ -150,6 +242,9 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         start = starts_ref[t]
         end = start + counts_ref[t]
         px, py, valid_px = _pixel_coords(t, grid, image_size)
+        if config.kernel_basis:
+            basis, bcx, bcy = _tile_basis(t, grid)
+            ones_p = jnp.ones((1, p), jnp.float32)
         c0, nch = _chunk_bounds(start, end, k)
 
         def inst_copy(i, slot):
@@ -184,16 +279,27 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 inst_copy(i + 1, 1 - slot).start()
 
             data = inst_buf[slot]
-            alpha, _expp, _dx, _dy, _con = _chunk_geometry(
-                data, px, py, start, end, off, valid_px, config, k)
+            if config.kernel_basis:
+                alpha, _rows = _chunk_geometry_basis(
+                    data, basis, bcx, bcy, start, end, off, valid_px,
+                    config, k)
+            else:
+                alpha, _expp, _dx, _dy, _con = _chunk_geometry(
+                    data, px, py, start, end, off, valid_px, config, k)
 
-            # transmittance as a log-space prefix product on the MXU:
-            # T_excl_j = T * exp(sum_{i<j} log(1 - a_i)); a <= alpha_clamp < 1
-            logom = jnp.log1p(-alpha)
-            cumlog_excl = _cumsum_excl(logom, u_strict)
-            T_excl = T * jnp.exp(cumlog_excl)             # (P, K)
+            # transmittance prefix product: T_excl_j = T * prod_{i<j}(1-a_i);
+            # a <= alpha_clamp < 1 (strategy per RasterConfig.cumprod_scan)
+            if config.cumprod_scan:
+                omf = 1.0 - alpha
+                T_excl = T * _cumprod_excl(omf)           # (P, K)
+                T_last = T_excl[:, k - 1:k] * omf[:, k - 1:k]
+            else:
+                logom = jnp.log1p(-alpha)
+                cumlog_excl = _cumsum_excl(logom, u_strict)
+                T_excl = T * jnp.exp(cumlog_excl)         # (P, K)
+                T_last = T * jnp.exp(cumlog_excl[:, k - 1:k]
+                                     + logom[:, k - 1:k])
             w = alpha * T_excl
-            T_last = T * jnp.exp(cumlog_excl[:, k - 1:k] + logom[:, k - 1:k])
 
             col = data[6:9, :]                            # (3, K)
             rgb = rgb + lax.dot_general(
@@ -213,7 +319,13 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             def _():
                 vis_copy(i - 2, slot).wait()
 
-            vis_buf[slot] = jnp.sum(w, axis=0, keepdims=True)
+            if config.kernel_basis:
+                # row sum on the MXU (the VPU is the bottleneck here)
+                vis_buf[slot] = lax.dot_general(
+                    ones_p, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                vis_buf[slot] = jnp.sum(w, axis=0, keepdims=True)
             vis_copy(i, slot).start()
 
             return i + 1, T_last, rgb, med
@@ -333,6 +445,9 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         start = starts_ref[t]
         end = start + counts_ref[t]
         px, py, valid_px = _pixel_coords(t, grid, image_size)
+        if config.kernel_basis:
+            basis, bcx, bcy = _tile_basis(t, grid)
+            basis_t = _tile_basis_t(t, grid)
         c0, nch = _chunk_bounds(start, end, k)
 
         def inst_copy(i, slot):
@@ -356,7 +471,10 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         Cfin = img_ref[bg, 0:3, :]
         Tfin = img_ref[bg, 3:4, :].reshape(p, 1)
         F = jnp.sum(Cfin * g, axis=0, keepdims=True).reshape(p, 1)
-        gmag = jnp.sum(jnp.abs(g), axis=0, keepdims=True).reshape(p, 1)
+        gmag_row = jnp.sum(jnp.abs(g), axis=0, keepdims=True)       # (1, P)
+        gmag = gmag_row.reshape(p, 1)
+        if config.kernel_basis:
+            gp = jnp.concatenate([g, gmag_row], axis=0)             # (4, P)
 
         def cond(carry):
             i, T, _S = carry
@@ -374,15 +492,25 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 inst_copy(i + 1, 1 - slot).start()
 
             data = inst_buf[slot]
-            alpha, expp, dx, dy, (ca, cb, cc) = _chunk_geometry(
-                data, px, py, start, end, off, valid_px, config, k)
+            if config.kernel_basis:
+                alpha, (mxq, myq, ca, cb, cc, op) = _chunk_geometry_basis(
+                    data, basis, bcx, bcy, start, end, off, valid_px,
+                    config, k)
+            else:
+                alpha, expp, dx, dy, (ca, cb, cc) = _chunk_geometry(
+                    data, px, py, start, end, off, valid_px, config, k)
 
             om = 1.0 - alpha
-            logom = jnp.log1p(-alpha)
-            cumlog_excl = _cumsum_excl(logom, u_strict)
-            T_excl = T * jnp.exp(cumlog_excl)
+            if config.cumprod_scan:
+                T_excl = T * _cumprod_excl(om)
+                T_last = T_excl[:, k - 1:k] * om[:, k - 1:k]
+            else:
+                logom = jnp.log1p(-alpha)
+                cumlog_excl = _cumsum_excl(logom, u_strict)
+                T_excl = T * jnp.exp(cumlog_excl)
+                T_last = T * jnp.exp(cumlog_excl[:, k - 1:k]
+                                     + logom[:, k - 1:k])
             w = alpha * T_excl                            # (P, K)
-            T_last = T * jnp.exp(cumlog_excl[:, k - 1:k] + logom[:, k - 1:k])
 
             col = data[6:9, :]                            # (3, K)
             cg = lax.dot_general(g, col, (((0,), (0,)), ((), ())),
@@ -398,19 +526,51 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
 
             unclamped = alpha < config.alpha_clamp
-            Gm = jnp.where(alpha > 0.0, expp, 0.0)
             d_al_u = jnp.where(unclamped, d_alpha, 0.0)
-            dop = jnp.sum(d_al_u * Gm, axis=0, keepdims=True)        # (1, K)
             dpow = d_al_u * alpha                                    # (P, K)
 
-            dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0, keepdims=True)
-            dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=0, keepdims=True)
-            dca = jnp.sum(-0.5 * dpow * dx * dx, axis=0, keepdims=True)
-            dcb = jnp.sum(-dpow * dx * dy, axis=0, keepdims=True)
-            dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=0, keepdims=True)
-            dcol = lax.dot_general(g, w, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)  # (3, K)
-            prune = jnp.sum(w * gmag, axis=0, keepdims=True)
+            if config.kernel_basis:
+                # ALL position/conic gradient reductions from ONE MXU
+                # contraction: moments of dpow against the tile-local pixel
+                # polynomial basis. With dx = qx - mxq (both tile-local):
+                #   sum dpow*dx    = m_qx  - mxq*m_1
+                #   sum dpow*dx^2  = m_qxx - 2 mxq m_qx + mxq^2 m_1   (etc.)
+                # and d_opacity = m_1/op because dpow/op = d_al_u * expp on
+                # the unclamped support (alpha = op*expp there; both sides
+                # vanish elsewhere).
+                m = lax.dot_general(basis_t, dpow, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                m1, mqx, mqy = m[0:1], m[1:2], m[2:3]
+                mqxx, mqxy, mqyy = m[3:4], m[4:5], m[5:6]
+                sdx = mqx - mxq * m1
+                sdy = mqy - myq * m1
+                sdxx = mqxx - 2.0 * mxq * mqx + mxq * mxq * m1
+                sdxy = mqxy - mxq * mqy - myq * mqx + mxq * myq * m1
+                sdyy = mqyy - 2.0 * myq * mqy + myq * myq * m1
+                dmx = ca * sdx + cb * sdy
+                dmy = cc * sdy + cb * sdx
+                dca = -0.5 * sdxx
+                dcb = -sdxy
+                dcc = -0.5 * sdyy
+                dop = m1 / jnp.maximum(op, 1e-12)
+                # color gradient + prune heuristic share one contraction
+                gw = lax.dot_general(gp, w, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                dcol = gw[0:3]                                       # (3, K)
+                prune = gw[3:4]
+            else:
+                Gm = jnp.where(alpha > 0.0, expp, 0.0)
+                dop = jnp.sum(d_al_u * Gm, axis=0, keepdims=True)    # (1, K)
+                dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0,
+                              keepdims=True)
+                dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=0,
+                              keepdims=True)
+                dca = jnp.sum(-0.5 * dpow * dx * dx, axis=0, keepdims=True)
+                dcb = jnp.sum(-dpow * dx * dy, axis=0, keepdims=True)
+                dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=0, keepdims=True)
+                dcol = lax.dot_general(g, w, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+                prune = jnp.sum(w * gmag, axis=0, keepdims=True)
 
             # pack the gradient slab; the slab is exclusively ours, so this
             # is a pure double-buffered write (wait for this slot's i-2

@@ -297,8 +297,6 @@ def expand_and_sort(
     # post-sort (M,) gathers cost ~8 ns/element on TPU, payload lanes in
     # the sort are far cheaper.
     sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
-    sorted_tile = (sorted_key >> db).astype(jnp.int32)
-    sorted_valid = sorted_tile < grid.num_tiles
 
     # per-tile instance ranges via boundary search (tiny: T+1 queries)
     boundaries = (jnp.arange(grid.num_tiles + 1, dtype=jnp.uint32) << db)
@@ -331,24 +329,11 @@ def expand_and_sort(
     aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, Ma
                                  ) - aligned_starts[:-1]         # (T,)
 
-    prev_tile = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), sorted_tile[:-1]])
-    is_start = sorted_tile != prev_tile
-    run_start = jax.lax.cummax(_scan_guard(jnp.where(is_start, inst, 0)))
-    prev_run_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), run_start[:-1]])
-    # at a run boundary, the padding appended after the PREVIOUS run
-    pad_prev = (-(inst - prev_run_start)) % k
-    pad_inc = jnp.where(is_start & (inst > 0), pad_prev, 0)
-    new_pos = inst + jnp.cumsum(_scan_guard(pad_inc))
-    keep = sorted_valid & (new_pos < Ma)
-    pos = jnp.where(keep, new_pos, Ma)                           # Ma = dropped
-    kept = jnp.sum(keep).astype(jnp.int32)
-
-    # aligned-order gaussian ids: the one remaining real (Ma,) scatter
-    # (indices are monotonic in-bounds-or-dropped)
-    gaussian_id = jnp.zeros((Ma,), jnp.int32).at[pos].set(
-        sorted_gid, mode="drop")
+    # kept = real instances that land inside Ma — aligned_counts already
+    # clips each run at the capacity, so no per-instance padding scan is
+    # needed (the aligned position of instance j of run t is
+    # aligned_starts[t] + j by construction).
+    kept = jnp.sum(aligned_counts).astype(jnp.int32)
 
     # slot validity + tile ids via tiny (T,) scatters at run starts plus a
     # cummax fill — no per-slot table gathers
@@ -364,6 +349,28 @@ def expand_and_sort(
         jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(
             jnp.arange(grid.num_tiles, dtype=jnp.int32), mode="drop")))
     tile_id = jnp.where(valid_p, tile_fill, grid.num_tiles)
+
+    # aligned-order gaussian ids via one MONOTONIC (Ma,) gather from the
+    # sorted stream (replaces the one remaining (Ma,) scatter — sorted
+    # gathers are the cheaper primitive on TPU). Source index for a slot
+    # is its own index minus the accumulated alignment padding of its
+    # tile's run (delta, non-decreasing), clamped through the padding
+    # region to the run's last sorted slot so indices stay non-decreasing:
+    # the next run resumes exactly one past the clamp
+    # (tile_starts[t'] == tile_starts[t] + counts[t]).
+    delta_t = astart - tile_starts[:-1]        # (T,) >= 0, non-decreasing
+    last_t = jnp.maximum(tile_starts[1:] - 1, 0)  # run's last sorted index
+    delta_fill = jax.lax.cummax(_scan_guard(
+        jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(delta_t, mode="drop")))
+    cap_fill = jax.lax.cummax(_scan_guard(
+        jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(last_t, mode="drop")))
+    src = jnp.clip(slot - delta_fill, 0, cap_fill)
+    gaussian_id = sorted_gid.at[src].get(indices_are_sorted=True,
+                                         mode="promise_in_bounds")
+    # padding/invalid slots gather an arbitrary (in-bounds) id; every
+    # consumer masks them via `valid` (kernel in_range test, gid-sort key,
+    # segment_sum value mask)
+    gaussian_id = jnp.where(valid_p, gaussian_id, 0)
 
     # per-gaussian [start, end) in compacted space: exclusive pass-prefix
     # evaluated at the gaussian's pre-sort segment bounds. Contiguity is

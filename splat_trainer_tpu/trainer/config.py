@@ -73,6 +73,8 @@ class TrainConfig:
     # bf16-packed payload lanes in the backward's gid sort (see
     # RasterConfig.grad_bf16_pack; golden-gated, off switch for A/B)
     grad_bf16_pack: bool = True
+    # basis-matmul kernel variants (see RasterConfig.kernel_basis)
+    kernel_basis: bool = True
     # re-jit the step at the smallest capacity ladder size fitting measured
     # instance demand (max_instances stays the ceiling). Binning/sort/
     # reduction costs scale with the STATIC sizes, so this is a large
@@ -115,6 +117,7 @@ class TrainConfig:
             chunk_size=self.chunk_size,
             backend=self.raster_backend,
             grad_bf16_pack=self.grad_bf16_pack,
+            kernel_basis=self.kernel_basis,
             render_median_depth=render_median_depth,
         )
 

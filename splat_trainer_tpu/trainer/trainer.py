@@ -589,6 +589,15 @@ class Trainer:
 
     BUCKET_HEADROOM = 1.3
     SHRINK_STREAK = 3
+    # Steps of growth-free quiet required before any shrink. Shrinking is
+    # only worth a ~2-min remote re-jit when the smaller bucket will
+    # persist for thousands of steps; during active densification demand
+    # regrows past the fine rung within a few hundred steps, and the
+    # grow/shrink pair at every eighth-step demand increment turns the run
+    # into a recompile storm (observed live: a compile every 2-5 min, ~10x
+    # wall-clock overhead). Growth stamps _last_grow_step; the shrink path
+    # waits this many steps after it.
+    SHRINK_QUIET_STEPS = 1500
 
     def _capacity_ladder(self):
         rc = self.config.raster_config()
@@ -667,7 +676,11 @@ class Trainer:
             self._bucket = (max(grow_m, cur_m), max(grow_mr, cur_mr))
             self._shrink_streak = 0
             self._need_hi = (need_m, need_mr)
+            self._last_grow_step = self.step
         elif want_m < cur_m or want_mr < cur_mr:
+            quiet = self.step - getattr(self, "_last_grow_step", 0)
+            if quiet < self.SHRINK_QUIET_STEPS:
+                return
             self._shrink_streak += 1
             if self._shrink_streak >= self.SHRINK_STREAK:
                 shr_m = self._ladder_fit(self._need_hi[0])

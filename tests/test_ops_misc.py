@@ -38,6 +38,44 @@ def test_evaluate_sh_dc():
     np.testing.assert_allclose(out, sh.SH_C0, rtol=1e-5)
 
 
+def test_ssim_matches_naive_oracle():
+    """The banded-matmul formulation must equal a direct sliding-window
+    SSIM (valid padding) and the matmul 2x2 pool must equal reshape-mean."""
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    a = jax.random.uniform(k1, (25, 31, 3))
+    b = jnp.clip(a + jax.random.normal(k2, a.shape) * 0.1, 0, 1)
+
+    # naive valid-padding gaussian blur oracle
+    kern = np.asarray(ssim._gaussian_kernel(11))
+    win = np.outer(kern, kern)
+
+    def blur_naive(x):
+        x = np.asarray(x)
+        h, w, c = x.shape
+        out = np.zeros((h - 10, w - 10, c))
+        for i in range(h - 10):
+            for j in range(w - 10):
+                out[i, j] = np.tensordot(win, x[i:i + 11, j:j + 11], 2)
+        return out
+
+    mu_a, mu_b = blur_naive(a), blur_naive(b)
+    sa = blur_naive(np.asarray(a) ** 2) - mu_a ** 2
+    sb = blur_naive(np.asarray(b) ** 2) - mu_b ** 2
+    sab = blur_naive(np.asarray(a) * np.asarray(b)) - mu_a * mu_b
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    expected = (((2 * mu_a * mu_b + c1) * (2 * sab + c2))
+                / ((mu_a ** 2 + mu_b ** 2 + c1) * (sa + sb + c2))).mean()
+    np.testing.assert_allclose(float(ssim.ssim(a, b)), expected, atol=1e-5)
+
+    # matmul pool == reshape-mean pool (odd tails cropped)
+    xc = a.transpose(2, 0, 1)
+    pooled = ssim._avg_pool2(xc, jax.lax.Precision.HIGHEST)
+    ref = np.asarray(a)[:24, :30].reshape(12, 2, 15, 2, 3).mean((1, 3))
+    np.testing.assert_allclose(np.asarray(pooled).transpose(1, 2, 0), ref,
+                               atol=1e-6)
+
+
 def test_ssim_basic():
     key = jax.random.PRNGKey(0)
     img = jax.random.uniform(key, (48, 48, 3))

@@ -60,7 +60,10 @@ def loss_and_grads(backend, g, cam, config):
 
 
 def test_backward_parity():
-    g, cam, config = setup(n=120, seed=3)
+    # f32 gradient reduction vs the dense oracle at tight tolerance; the
+    # bf16-packed default's looser precision band is covered by
+    # test_grad_bf16_pack_parity below.
+    g, cam, config = setup(n=120, seed=3, grad_bf16_pack=False)
     gd = loss_and_grads("dense", g, cam, config)
     gp = loss_and_grads("pallas", g, cam, config)
 
@@ -117,7 +120,8 @@ def test_grad_bf16_pack_parity():
     the f32 per-gaussian reduction — gradients must match the f32 path
     within bf16 relative tolerance and the forward must be bit-identical."""
     g, cam, config = setup(n=120, seed=3)
-    gp32 = loss_and_grads("pallas", g, cam, config)
+    gp32 = loss_and_grads("pallas", g, cam,
+                          dict(config, grad_bf16_pack=False))
     gp16 = loss_and_grads("pallas", g, cam, dict(config, grad_bf16_pack=True))
 
     names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
@@ -157,8 +161,9 @@ def test_tile_size_parity():
     """tile_size only changes binning granularity (bench.py auto-tunes it):
     the composite per pixel is the same depth-sorted instance set, so
     outputs and gradients must match across tile sizes up to chunk-
-    association float noise."""
-    g, cam, config = setup(n=120, seed=3)
+    association float noise (f32 reduction: the two tile sizes produce
+    different instance sets, so bf16 packing noise would not cancel)."""
+    g, cam, config = setup(n=120, seed=3, grad_bf16_pack=False)
     r16 = render_with("pallas", g, cam, config)
     r32 = render_with("pallas", g, cam, dict(config, tile_size=32))
     np.testing.assert_allclose(r32.image, r16.image, atol=2e-4)
@@ -175,8 +180,29 @@ def test_tile_size_parity():
         np.testing.assert_allclose(b, a, atol=2e-3 * scale, err_msg=name)
 
 
+def test_kernel_variant_parity():
+    """The kernel strategy knobs (basis matmuls, cumprod transmittance
+    scan) are lossless reformulations: forward images and gradients must
+    match the elementwise/log-space path within float-association noise."""
+    g, cam, config = setup(n=120, seed=3, grad_bf16_pack=False)
+    base = dict(config, kernel_basis=False, cumprod_scan=False)
+    r0 = render_with("pallas", g, cam, base)
+    g0 = loss_and_grads("pallas", g, cam, base)
+    names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
+    for variant in (dict(base, kernel_basis=True),
+                    dict(base, cumprod_scan=True)):
+        rv = render_with("pallas", g, cam, variant)
+        np.testing.assert_allclose(rv.image, r0.image, atol=2e-4)
+        np.testing.assert_allclose(rv.alpha, r0.alpha, atol=2e-4)
+        gv = loss_and_grads("pallas", g, cam, variant)
+        for name, a, b in zip(names, g0, gv):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(b, a, atol=2e-3 * scale, err_msg=name)
+
+
 def test_compacted_backward_parity():
-    g, cam, config = setup(n=120, seed=3)
+    g, cam, config = setup(n=120, seed=3, grad_bf16_pack=False)
     gd = loss_and_grads("dense", g, cam, config)
     config.update(max_instances=2048, max_render_instances=512)
     gp = loss_and_grads("pallas", g, cam, config)
