@@ -109,7 +109,10 @@ def load_checkpoint_scene():
     best = None
     for cfg_path in sorted(Path("runs").glob("*/config.yaml")):
         ws = cfg_path.parent
-        path = ckpt.find_latest_checkpoint(ws)
+        try:
+            path = ckpt.find_latest_checkpoint(ws)
+        except FileNotFoundError:
+            continue  # run dir without checkpoints (intermediates untracked)
         if path is None:
             continue
         step = int(str(path).rsplit("_", 1)[-1])
@@ -244,15 +247,25 @@ def main():
     n_active = int(np.asarray(scene.active).sum())
     hyper = make_hyper(scene_config, cfg, 0.5)
 
+    def _to_host(out):
+        # force a device->host copy of a SCALAR that data-depends on the
+        # output: unlike block_until_ready (observed unreliable through the
+        # axon relay), a host transfer cannot complete before the
+        # computation does — and reducing on-device first keeps the copy
+        # off the timing (a full 1536x1024x3 image costs ~0.5 s through
+        # the relay; a scalar ~30 ms RTT)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jnp.sum(leaf))
+
     def timeit(fn, iters=10, warmup=2):
         out = None
         for _ in range(warmup):
             out = fn()
-        jax.block_until_ready(out)
+        _to_host(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        jax.block_until_ready(out)
+        _to_host(out)
         return (time.perf_counter() - t0) / iters
 
     # ---- occupancy statistics (instances per tile, clipping) -------------
@@ -321,15 +334,24 @@ def main():
         sc = jax.tree_util.tree_map(jnp.copy, scene0)
         ps = PointState.new_zeros(scene0.capacity)
         sc, ps, m = step_v(sc, ps, batches[0], hyper, key)
-        jax.block_until_ready(m.mse)
+        float(np.asarray(m.mse))
         sc, ps, m = step_v(sc, ps, batches[1 % n_cams], hyper, key)
-        jax.block_until_ready(m.mse)
+        float(np.asarray(m.mse))
         t0 = time.perf_counter()
         for i in range(iters_ab):
             sc, ps, m = step_v(sc, ps, batches[i % n_cams], hyper, key)
-        jax.block_until_ready(m.mse)
+        # end timing on a forced device->host transfer, NOT
+        # block_until_ready: the axon relay has been observed returning
+        # from block_until_ready before the chained steps complete
+        # (sub-ms "measurements" of a 250 ms step); a host copy of an
+        # output cannot complete early. Finiteness doubles as a check
+        # that the candidate actually computed.
+        mse = float(np.asarray(m.mse))
+        dt = (time.perf_counter() - t0) / iters_ab
         del sc, ps
-        return (time.perf_counter() - t0) / iters_ab
+        if not np.isfinite(mse):
+            raise RuntimeError(f"non-finite mse {mse} in A/B candidate")
+        return dt
 
     ab_table = []
 
@@ -373,6 +395,16 @@ def main():
                 try_measure(f"ts32, tpb{ts32.tiles_per_block}", ts32)
             ok = [r for r in ab_table if r[2] is not None]
             best = min(ok, key=lambda r: r[2])
+            # re-toggle the kernel-strategy knobs at the winning binning
+            # config (their win/loss flips with occupancy per tile)
+            for knob in ("kernel_basis", "cumprod_scan"):
+                cur = getattr(best[1], knob)
+                cand = dataclasses.replace(best[1], **{knob: not cur})
+                if any(r[1] == cand for r in ab_table):
+                    continue  # already measured this exact config
+                try_measure(f"{best[0]} + {knob}={not cur}", cand)
+                ok = [r for r in ab_table if r[2] is not None]
+                best = min(ok, key=lambda r: r[2])
             if best[1] is not rcfg:
                 print(f"# tune: adopting {best[0]}")
             rcfg = best[1]
@@ -426,12 +458,13 @@ def main():
     sc = jax.tree_util.tree_map(jnp.copy, scene0)
     ps = PointState.new_zeros(scene0.capacity)
     sc, ps, m = step(sc, ps, batches[0], hyper, key)   # compile
-    jax.block_until_ready(m.mse)
+    float(np.asarray(m.mse))
     iters = int(os.environ.get("BENCH_ITERS", 30))
     t0 = time.perf_counter()
     for i in range(iters):
         sc, ps, m = step(sc, ps, batches[i % n_cams], hyper, key)
-    jax.block_until_ready(m.mse)
+    # sync on a forced host transfer, not block_until_ready (see measure())
+    float(np.asarray(m.mse))
     dt = (time.perf_counter() - t0) / iters
     phases["full_step"] = dt
     print("# phases (ms):", json.dumps(

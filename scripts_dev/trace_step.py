@@ -35,6 +35,15 @@ def main():
     scene_config = cfg.scene
     rcfg = dataclasses.replace(cfg.raster_config(),
                                max_instances=m, max_render_instances=mr)
+    # optional knob overrides so the trace matches the bench-adopted config
+    import os
+    for knob, cast in (("tile_size", int), ("tiles_per_block", int),
+                       ("kernel_basis", lambda v: v == "1"),
+                       ("cumprod_scan", lambda v: v == "1"),
+                       ("grad_bf16_pack", lambda v: v == "1")):
+        v = os.environ.get(f"TRACE_{knob.upper()}")
+        if v is not None:
+            rcfg = dataclasses.replace(rcfg, **{knob: cast(v)})
     pstate = PointState.new_zeros(scene.capacity)
     w, h = camera_table.image_size
     cams = camera_table.cameras

@@ -183,8 +183,10 @@ class RasterConfig:
     # idles, so both rewrites trade ~10-20 VPU passes for one matmul each.
     # Tile-local pixel coordinates keep the quadratic's terms O(tile_size)
     # (no catastrophic cancellation). False = the direct elementwise path
-    # (kept for A/B and as the numeric oracle).
-    kernel_basis: bool = True
+    # (kept for A/B and as the numeric oracle). Default False: on-chip
+    # A/Bs (PROFILE.md) measured the elementwise path faster at both tile
+    # sizes — the tall-skinny basis contraction doesn't pay on the MXU.
+    kernel_basis: bool = False
     # transmittance prefix-product strategy inside the kernels:
     #   False — log-space: log1p + MXU triangular matmul + exp (two VPU
     #           transcendentals per chunk, scan itself rides the MXU)

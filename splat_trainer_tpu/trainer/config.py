@@ -73,8 +73,11 @@ class TrainConfig:
     # bf16-packed payload lanes in the backward's gid sort (see
     # RasterConfig.grad_bf16_pack; golden-gated, off switch for A/B)
     grad_bf16_pack: bool = True
-    # basis-matmul kernel variants (see RasterConfig.kernel_basis)
-    kernel_basis: bool = True
+    # basis-matmul kernel variants (see RasterConfig.kernel_basis).
+    # Default False: on-chip A/B (PROFILE.md) measured the direct
+    # elementwise VPU path faster at both tile sizes — the tall-skinny
+    # (P,6)x(6,K) basis contraction doesn't pay on the MXU.
+    kernel_basis: bool = False
     # re-jit the step at the smallest capacity ladder size fitting measured
     # instance demand (max_instances stays the ceiling). Binning/sort/
     # reduction costs scale with the STATIC sizes, so this is a large
