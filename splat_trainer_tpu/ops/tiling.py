@@ -256,8 +256,18 @@ def expand_and_sort(
     # one row-gather; gid is non-decreasing (cummax) and always in-bounds
     aux = aux_g.at[gid].get(indices_are_sorted=True,
                             mode="promise_in_bounds")
-    offs_f, sx_f = aux[:, 0], aux[:, 1]
-    x0_f, y0_f, dq_i = aux[:, 2], aux[:, 3], aux[:, 4]
+    # force a PHYSICAL transposition: extracting columns from the row-major
+    # (M, K) gather output makes XLA re-read the whole matrix per column
+    # (12 full-array passes ~2 ms each, measured). A plain .T gets folded
+    # into a zero-copy bitcast (measured: the 12 passes stay); reshaping
+    # the transpose to 1D changes element order, which XLA cannot bitcast,
+    # so one real copy materializes and every row below is a contiguous
+    # (M,) stream.
+    ncol = aux.shape[1]
+    aux = aux.T.reshape(ncol * M)
+    aux = [aux[i * M:(i + 1) * M] for i in range(ncol)]
+    offs_f, sx_f = aux[0], aux[1]
+    x0_f, y0_f, dq_i = aux[2], aux[3], aux[4]
 
     # instance -> tile within the gaussian's rect. Integer div/mod by a
     # runtime divisor has no native VPU op (~30ms/op at 2M); exact float
@@ -271,9 +281,9 @@ def expand_and_sort(
     keep_inst = valid
     if do_cull:
         min_q = ellipse_tile_min_q(
-            x0_f + rx, y0_f + ry, aux[:, 5], aux[:, 6],
-            aux[:, 7], aux[:, 8], aux[:, 9], grid.tile_size)
-        keep_inst = valid & (min_q <= aux[:, 10])
+            x0_f + rx, y0_f + ry, aux[5], aux[6],
+            aux[7], aux[8], aux[9], grid.tile_size)
+        keep_inst = valid & (min_q <= aux[10])
 
     # compacted pre-sort renumbering (reduction support): cull survivors
     # keep their relative pre-sort order under a dense renumbering, so
@@ -335,41 +345,48 @@ def expand_and_sort(
     # aligned_starts[t] + j by construction).
     kept = jnp.sum(aligned_counts).astype(jnp.int32)
 
-    # slot validity + tile ids via tiny (T,) scatters at run starts plus a
-    # cummax fill — no per-slot table gathers
+    # CHUNK-GRANULARITY alignment bookkeeping: every aligned chunk is owned
+    # by exactly one tile run and reads ONE contiguous k-window of the
+    # sorted stream, so validity/tile/source maps all live at C = Ma/k
+    # elements (20k instead of 2.7M) — the former (Ma,)-sized cummax fills
+    # and the (Ma,) monotonic gather (~19 ms at 2.7M, measured) collapse
+    # into (C,) scans plus one (C, k) block gather that XLA lowers to a
+    # per-ROW gather of contiguous 128-lane windows.
     astart = aligned_starts[:-1]
     nonempty = aligned_counts > 0
-    mark_idx = jnp.where(nonempty, astart, Ma)
-    slot = jnp.arange(Ma, dtype=jnp.int32)
-    run_end_slot = jax.lax.cummax(_scan_guard(
-        jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(
-            astart + aligned_counts, mode="drop")))
-    valid_p = slot < run_end_slot
-    tile_fill = jax.lax.cummax(_scan_guard(
-        jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(
+    C = Ma // k
+    cstart = astart // k                              # (T,) first chunk of run
+    cmark = jnp.where(nonempty, cstart, C)
+    tile_of_chunk = jax.lax.cummax(_scan_guard(
+        jnp.zeros((C,), jnp.int32).at[cmark].max(
             jnp.arange(grid.num_tiles, dtype=jnp.int32), mode="drop")))
-    tile_id = jnp.where(valid_p, tile_fill, grid.num_tiles)
+    # per-chunk run parameters: (C,) gathers from tiny (T,) tables
+    run_astart = astart[tile_of_chunk]
+    run_count = aligned_counts[tile_of_chunk]
+    run_src = tile_starts[:-1][tile_of_chunk]         # run's sorted-stream start
+    local = jnp.arange(C, dtype=jnp.int32) * k - run_astart  # >= 0 by cummax
+    nvalid = jnp.clip(run_count - local, 0, k)        # valid lanes per chunk
+    lane = jnp.arange(k, dtype=jnp.int32)
+    valid2d = lane[None, :] < nvalid[:, None]         # (C, k)
+    valid_p = valid2d.reshape(Ma)
+    tile2d = jnp.broadcast_to(tile_of_chunk[:, None], (C, k))
+    tile_id = jnp.where(valid_p, tile2d.reshape(Ma), grid.num_tiles)
 
-    # aligned-order gaussian ids via one MONOTONIC (Ma,) gather from the
-    # sorted stream (replaces the one remaining (Ma,) scatter — sorted
-    # gathers are the cheaper primitive on TPU). Source index for a slot
-    # is its own index minus the accumulated alignment padding of its
-    # tile's run (delta, non-decreasing), clamped through the padding
-    # region to the run's last sorted slot so indices stay non-decreasing:
-    # the next run resumes exactly one past the clamp
-    # (tile_starts[t'] == tile_starts[t] + counts[t]).
-    delta_t = astart - tile_starts[:-1]        # (T,) >= 0, non-decreasing
-    last_t = jnp.maximum(tile_starts[1:] - 1, 0)  # run's last sorted index
-    delta_fill = jax.lax.cummax(_scan_guard(
-        jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(delta_t, mode="drop")))
-    cap_fill = jax.lax.cummax(_scan_guard(
-        jnp.zeros((Ma,), jnp.int32).at[mark_idx].max(last_t, mode="drop")))
-    src = jnp.clip(slot - delta_fill, 0, cap_fill)
+    # gaussian ids via ONE monotonic (Ma,) gather from the sorted stream:
+    # chunk c's lane j reads sorted_gid[run_src + local + j]. Padding lanes
+    # (j >= nvalid) clamp to the run's LAST valid source so the index
+    # stream stays globally non-decreasing (runs abut in both spaces;
+    # every in-run chunk has nvalid >= 1). A (C, k) block gather would be
+    # cheaper still, but XLA's gather expander rewrites 1D windowed
+    # gathers into a per-chunk while loop (measured 98 ms) — the element
+    # gather is the fastest primitive actually available.
+    j_eff = jnp.minimum(lane[None, :], jnp.maximum(nvalid - 1, 0)[:, None])
+    src = jnp.minimum((run_src + local)[:, None] + j_eff, M - 1).reshape(Ma)
     gaussian_id = sorted_gid.at[src].get(indices_are_sorted=True,
                                          mode="promise_in_bounds")
-    # padding/invalid slots gather an arbitrary (in-bounds) id; every
-    # consumer masks them via `valid` (kernel in_range test, gid-sort key,
-    # segment_sum value mask)
+    # padding/invalid slots hold an arbitrary in-bounds id; every consumer
+    # masks them via `valid` (kernel in_range test, gid-sort key, segment
+    # value mask)
     gaussian_id = jnp.where(valid_p, gaussian_id, 0)
 
     # per-gaussian [start, end) in compacted space: exclusive pass-prefix
