@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--tiles-per-block", type=int, default=0,
                     help="tiles composited per Pallas grid step (amortizes "
                          "per-grid-step overhead; try 4/8)")
+    ap.add_argument("--sat", type=int, default=0,
+                    help="max_sat_instances (backward saturation "
+                         "compaction capacity; 0 = off)")
+    ap.add_argument("--fallback", action="store_true",
+                    help="use bench.fallback_scene (BENCH_POINTS / "
+                         "BENCH_IMAGE_SIZE env) instead of a checkpoint")
     ap.add_argument("--occupancy", action="store_true",
                     help="print post-cull instance counts and exit")
     args = ap.parse_args()
@@ -51,7 +57,10 @@ def main():
         TrainBatch, make_hyper, train_step,
     )
 
-    scene, cfg, camera_table = bench.load_checkpoint_scene()
+    if args.fallback:
+        scene, cfg, camera_table = bench.fallback_scene()
+    else:
+        scene, cfg, camera_table = bench.load_checkpoint_scene()
     import dataclasses
 
     rcfg = cfg.raster_config()
@@ -65,12 +74,16 @@ def main():
         rcfg = dataclasses.replace(rcfg, grad_bf16_pack=True)
     if args.tiles_per_block:
         rcfg = dataclasses.replace(rcfg, tiles_per_block=args.tiles_per_block)
+    if args.sat:
+        rcfg = dataclasses.replace(rcfg, max_sat_instances=args.sat)
     pstate = PointState.new_zeros(scene.capacity)
-    w, h = camera_table.image_size
+    w, h = (bench.IMAGE_SIZE if args.fallback else camera_table.image_size)
 
     cams = camera_table.cameras
     n_cams = min(8, camera_table.num_images)
     key = jax.random.PRNGKey(0)
+    w0, h0 = camera_table.image_size
+    scale = jnp.asarray([w / w0, h / h0, w / w0, h / h0])
     batches = []
     for i in range(n_cams):
         batches.append(TrainBatch(
@@ -78,7 +91,7 @@ def main():
                                        (1, h, w, 3)) * 255).astype(jnp.uint8),
             image_idx=jnp.array([i]),
             T_camera_world=cams.camera_t_world[i][None],
-            projection=cams.intrinsics[i][None],
+            projection=(cams.intrinsics[i] * scale)[None],
             near=cams.depth_range[i, 0][None],
             far=cams.depth_range[i, 1][None]))
 
@@ -133,6 +146,8 @@ def main():
     print(f"# chained full step: {dt*1e3:.2f} ms  ({1.0/dt:.2f} img/s)  "
           f"M={rcfg.max_instances}")
     print(f"# clipped_instances last step: {int(m.clipped_instances)}")
+    print(f"# sat_demand last step: {int(getattr(m, 'sat_demand', 0))}  "
+          f"instances {int(m.num_instances)}  demand {int(m.instance_demand)}")
 
     if args.trace:
         jax.profiler.start_trace(args.trace_dir)

@@ -187,6 +187,22 @@ class RasterConfig:
     # A/Bs (PROFILE.md) measured the elementwise path faster at both tile
     # sizes — the tall-skinny basis contraction doesn't pay on the MXU.
     kernel_basis: bool = False
+    # SATURATION COMPACTION (backward): the forward kernel early-exits a
+    # tile once every pixel's transmittance saturates, and reports how many
+    # chunks it actually consumed. With this capacity set, the backward
+    # writes its per-instance gradient slabs into a stream compacted to
+    # exactly those consumed chunks, and the dominant backward stream ops
+    # (the gid-keyed payload sort + segmented reduction) run at this much
+    # smaller static size instead of max_render_instances. Lossless:
+    # instances past saturation already get exactly zero gradient from the
+    # early-exiting kernel; sums match to ~1 ulp (the compensated
+    # reduction's block grouping depends on the static stream length —
+    # tests/test_rasterize_pallas parity). Overflow (demand > capacity)
+    # drops only the
+    # overflowing tiles' gradients and is counted in clipped_instances;
+    # the trainer buckets this capacity from the reported sat_demand like
+    # the other two. None = off (backward streams at max_render_instances).
+    max_sat_instances: Optional[int] = None
     # transmittance prefix-product strategy inside the kernels:
     #   False — log-space: log1p + MXU triangular matmul + exp (two VPU
     #           transcendentals per chunk, scan itself rides the MXU)
@@ -200,6 +216,9 @@ class RasterConfig:
     def __post_init__(self):
         assert self.max_instances % self.chunk_size == 0, \
             "max_instances must be a multiple of chunk_size"
+        assert (self.max_sat_instances is None
+                or self.max_sat_instances % self.chunk_size == 0), \
+            "max_sat_instances must be a multiple of chunk_size"
 
 
 @struct.dataclass
@@ -264,6 +283,10 @@ class Rendering:
     # the trainer's capacity bucketing feeds on these
     num_instances: Optional[jax.Array] = None
     instance_demand: Optional[jax.Array] = None
+    # chunk-aligned size of the backward saturation stream this view needs
+    # (sum over tiles of forward-consumed chunks * chunk_size, uncapped) —
+    # feeds the trainer's max_sat_instances bucketing
+    sat_demand: Optional[jax.Array] = None
 
     @property
     def image_size(self):

@@ -52,12 +52,18 @@ from splat_trainer_tpu.ops.tiling import TileGrid
 INST_ROWS = 16
 # backward per-instance gradient matrix, (16, M) f32 — rows:
 # [0] d_mean_x [1] d_mean_y [2:5] d_conic [5] d_opacity [6:9] d_color
-# [9] prune_cost [10:16] pad. GRAD_ROWS must stay a multiple of 8 (Mosaic
-# requires HBM slices 8-aligned along the sublane dim); GRAD_USED marks
-# the live rows — the backward reduction sorts/gathers ONLY those (dead
-# payload lanes cost real milliseconds in the gid sort).
+# [9] prune_cost [10] gid sort key (saturation path only) [11:16] pad.
+# GRAD_ROWS must stay a multiple of 8 (Mosaic requires HBM slices 8-aligned
+# along the sublane dim); GRAD_USED marks the live rows — the backward
+# reduction sorts/gathers ONLY those (dead payload lanes cost real
+# milliseconds in the gid sort).
 GRAD_ROWS = 16
 GRAD_USED = 10
+# saturation path: the kernel emits the reduction's sort key itself —
+# gaussian_id for in-range slots, the number of gaussians (past every real
+# id) for padding — because the compacted stream has no precomputed
+# gaussian_id/valid arrays (f32 exact: ids < 2^24)
+GRAD_KEY_ROW = 10
 IMG_ROWS = 8  # [r, g, b, T_final, median_ndc, pad, pad, pad]
 
 
@@ -354,7 +360,12 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         out_ref[g, 0:3, :] = rgb
         out_ref[g, 3:4, :] = T.reshape(1, p)
         out_ref[g, 4:5, :] = med
-        out_ref[g, 5:8, :] = jnp.zeros((3, p), jnp.float32)
+        # row 5 carries the CONSUMED CHUNK COUNT (early-exit point) of this
+        # tile, broadcast across lanes — the saturation-compaction stream
+        # (RasterConfig.max_sat_instances) is sized/laid out from it. f32 is
+        # exact (chunk counts < 2^24). Rows 6-7 stay zero padding.
+        out_ref[g, 5:6, :] = jnp.full((1, p), i_end.astype(jnp.float32))
+        out_ref[g, 6:8, :] = jnp.zeros((2, p), jnp.float32)
 
     # statically unrolled: G tiles share one grid step's setup/teardown and
     # output-block DMA. Tail-block tiles past num_tiles are skipped (their
@@ -429,9 +440,18 @@ def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
 
 
 def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
-                starts_ref, counts_ref, inst_ref, ct_ref, img_ref, grad_zero_ref,
-                grad_ref,
-                inst_buf, grad_buf, in_sem, grad_sem):
+                n_points, *refs):
+    # saturation path adds a scalar-prefetch operand (per-tile compacted
+    # write starts) between starts and counts, and writes gradient slabs at
+    # those compacted offsets while READING the original aligned stream
+    sat = config.max_sat_instances is not None
+    if sat:
+        (starts_ref, sat_starts_ref, counts_ref, inst_ref, ct_ref, img_ref,
+         grad_zero_ref, grad_ref, inst_buf, grad_buf, in_sem, grad_sem) = refs
+    else:
+        (starts_ref, counts_ref, inst_ref, ct_ref, img_ref,
+         grad_zero_ref, grad_ref, inst_buf, grad_buf, in_sem, grad_sem) = refs
+        sat_starts_ref = starts_ref
     del grad_zero_ref  # aliased to grad_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
@@ -444,6 +464,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         # parallel grid over tile blocks
         start = starts_ref[t]
         end = start + counts_ref[t]
+        c0_sat = sat_starts_ref[t] // k
         px, py, valid_px = _pixel_coords(t, grid, image_size)
         if config.kernel_basis:
             basis, bcx, bcy = _tile_basis(t, grid)
@@ -457,7 +478,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 in_sem.at[slot])
 
         def grad_copy(i, slot):
-            off = (c0 + i) * k
+            off = ((c0_sat if sat else c0) + i) * k
             return pltpu.make_async_copy(
                 grad_buf.at[slot], grad_ref.at[:, pl.ds(off, k)],
                 grad_sem.at[slot])
@@ -478,6 +499,13 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
 
         def cond(carry):
             i, T, _S = carry
+            if sat:
+                # the compacted stream's layout REQUIRES one key row per
+                # consumed chunk (a skipped chunk would leave zero-keyed
+                # rows that misalign every reduction segment) — and counts
+                # are already truncated to the forward's early-exit point,
+                # so there is nothing left for the T-threshold to skip
+                return i < nch
             return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
 
         def body(carry):
@@ -587,7 +615,16 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             grad_buf[slot, 5:6, :] = dop
             grad_buf[slot, 6:9, :] = dcol
             grad_buf[slot, 9:10, :] = prune
-            grad_buf[slot, 10:16, :] = jnp.zeros((6, k), jnp.float32)
+            if sat:
+                # the gid sort key: gaussian id (packed row 10 of the
+                # instance matrix) for in-range slots, n_points for padding
+                ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+                in_range = (ids >= start) & (ids < end)
+                grad_buf[slot, 10:11, :] = jnp.where(
+                    in_range, data[10:11, :], jnp.float32(n_points))
+                grad_buf[slot, 11:16, :] = jnp.zeros((5, k), jnp.float32)
+            else:
+                grad_buf[slot, 10:16, :] = jnp.zeros((6, k), jnp.float32)
             grad_copy(i, slot).start()
 
             return i + 1, T_last, prefix[:, k - 1:k]
@@ -618,9 +655,17 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
 
 def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
                        grid: TileGrid, image_size, config: RasterConfig,
-                       interpret: bool = False):
-    """Run the backward kernel. Returns per-instance gradients (GRAD_ROWS, M)."""
-    m = inst_data.shape[1]
+                       interpret: bool = False,
+                       sat_starts=None, n_points: int = 0):
+    """Run the backward kernel. Returns per-instance gradients (GRAD_ROWS, M).
+
+    With `config.max_sat_instances` set, `tile_counts` must be the
+    saturation-truncated per-tile counts and `sat_starts` the per-tile
+    chunk-aligned starts of the compacted output stream; the returned
+    gradient matrix is (GRAD_ROWS, max_sat_instances) with the gid sort key
+    in row GRAD_KEY_ROW (n_points for padding slots)."""
+    sat = config.max_sat_instances is not None
+    m_out = config.max_sat_instances if sat else inst_data.shape[1]
     p = grid.tile_size * grid.tile_size
     k = config.chunk_size
     G = config.tiles_per_block
@@ -630,9 +675,10 @@ def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
         ct_tile = jnp.pad(ct_tile, pad)
         tile_img = jnp.pad(tile_img, pad)
 
-    kernel = functools.partial(_bwd_kernel, grid, image_size, config)
+    kernel = functools.partial(_bwd_kernel, grid, image_size, config,
+                               n_points)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if sat else 2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
@@ -640,7 +686,7 @@ def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
                          memory_space=pltpu.VMEM),  # ct rows [rgb, dT]
             pl.BlockSpec((G, IMG_ROWS, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # fwd tile image
-            pl.BlockSpec(memory_space=pltpu.ANY),   # grad zeros (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # grad init (aliased)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -653,17 +699,30 @@ def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
         ],
     )
 
-    grad_zero = jnp.zeros((GRAD_ROWS, m), jnp.float32)
+    if sat:
+        # padding slots must carry the past-every-gaussian sort key, not 0
+        # (a zero key would alias gaussian 0 and shift every reduction
+        # segment)
+        grad_zero = jnp.zeros((GRAD_ROWS, m_out), jnp.float32
+                              ).at[GRAD_KEY_ROW].set(float(n_points))
+        operands = (tile_starts, sat_starts, tile_counts, inst_data,
+                    ct_tile, tile_img, grad_zero)
+        aliases = {6: 0}
+    else:
+        grad_zero = jnp.zeros((GRAD_ROWS, m_out), jnp.float32)
+        operands = (tile_starts, tile_counts, inst_data, ct_tile, tile_img,
+                    grad_zero)
+        aliases = {5: 0}
     (inst_grad,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m), jnp.float32)],
-        input_output_aliases={5: 0},
+        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m_out), jnp.float32)],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(tile_starts, tile_counts, inst_data, ct_tile, tile_img, grad_zero)
+    )(*operands)
     return inst_grad
 
 

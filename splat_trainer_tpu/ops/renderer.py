@@ -41,6 +41,7 @@ class RasterOut(NamedTuple):
     clipped: jax.Array     # scalar int32
     instances: jax.Array   # scalar int32 — rendered (post-cull) instances
     demand: jax.Array      # scalar int32 — AABB expansion demand
+    sat_demand: jax.Array  # scalar int32 — saturation-stream demand (0 = off)
 
 
 def resolve_backend(config: RasterConfig) -> str:
@@ -60,13 +61,17 @@ def heuristic_scale(image_size) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _compact_by_gid(lanes, inst, n):
-    """Sort per-aligned-slot value lanes into compact order -> (Ma, C).
+def _compact_key(inst, n):
+    """gid sort key: gaussian_id for valid slots, n (past every real id)
+    for padding, so padding sorts past every segment end."""
+    return jnp.where(inst.valid, inst.gaussian_id, n)
 
-    Key = gaussian_id for valid slots, n (past every real id) for padding,
-    so padding sorts past every segment end. Rows [0, total) are exactly
-    the compact pre-sort order (see tiling.Instances docstring)."""
-    key = jnp.where(inst.valid, inst.gaussian_id, n)
+
+def _compact_by_key(lanes, key):
+    """Sort per-slot value lanes by a gid key into compact order -> (M, C).
+
+    Rows [0, total) are exactly the compact pre-sort order (see
+    tiling.Instances docstring)."""
     out = lax.sort((key,) + tuple(lanes), num_keys=1)
     return jnp.stack(out[1:], axis=-1)
 
@@ -86,8 +91,8 @@ def _unpack_pair_bf16(p: jax.Array):
     return a.astype(jnp.float32), b.astype(jnp.float32)
 
 
-def _compact_by_gid_bf16(lanes, inst, n):
-    """`_compact_by_gid` with pairs of lanes bf16-packed into u32 payloads
+def _compact_by_key_bf16(lanes, key):
+    """`_compact_by_key` with pairs of lanes bf16-packed into u32 payloads
     (RasterConfig.grad_bf16_pack): an 11-operand sort becomes 6-operand.
     Values are quantized to bf16 per instance; the per-gaussian summation
     downstream stays f32."""
@@ -95,7 +100,6 @@ def _compact_by_gid_bf16(lanes, inst, n):
         lanes = lanes + (jnp.zeros_like(lanes[0]),)
     packed = tuple(_pack_pair_bf16(lanes[i], lanes[i + 1])
                    for i in range(0, len(lanes), 2))
-    key = jnp.where(inst.valid, inst.gaussian_id, n)
     out = lax.sort((key,) + packed, num_keys=1)
     cols = []
     for p in out[1:]:
@@ -108,6 +112,7 @@ def _compact_by_gid_bf16(lanes, inst, n):
 def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
                     interpret: bool):
     hscale = heuristic_scale(image_size)
+    sat = config.max_sat_instances is not None
 
     def forward_parts(mean, conic, opacity, color, depth_ndc, radius):
         visible = radius >= 1.0
@@ -117,15 +122,23 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         n = mean.shape[0]
         # ONE contiguous row-gather (a 64-byte row costs the same HBM
         # transaction as a scalar) followed by a bandwidth-bound transpose —
-        # per-field gathers are ~30x slower at 4M instances.
+        # per-field gathers are ~30x slower at 4M instances. Column 10 is
+        # the gaussian index itself (an arange gathered by gid is gid):
+        # the saturation backward emits its sort key from it
+        # (rasterize_pallas.GRAD_KEY_ROW).
         packed = jnp.concatenate([
             mean, conic, opacity[:, None], color, depth_ndc[:, None],
-            jnp.zeros((n, rasterize_pallas.INST_ROWS - 10), jnp.float32),
+            jnp.arange(n, dtype=jnp.float32)[:, None],
+            jnp.zeros((n, rasterize_pallas.INST_ROWS - 11), jnp.float32),
         ], axis=1)[inst.gaussian_id].T  # (16, M) field matrix
 
         tile_img, inst_vis = rasterize_pallas.rasterize_forward(
             inst.tile_starts, inst.tile_counts, packed, grid, image_size,
             config, interpret=interpret)
+
+        sat_bundle = None
+        if sat:
+            sat_bundle = _saturation_bundle(inst, tile_img)
 
         if config.reduce == "segment":
             vis = jax.ops.segment_sum(
@@ -137,44 +150,118 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
             # position (tiling.Instances docstring) — then prefix-diff over
             # the contiguous ranges; no scatter-add, no random row gathers
             # (ops/segmented.py).
-            vis_sorted = _compact_by_gid((inst_vis[0],), inst, n)
+            key = _compact_key(inst, n)
+            if sat:
+                # the kept flag rides the visibility compaction as one
+                # extra payload lane; its compact-order prefix remaps the
+                # per-gaussian reduction segments onto the saturation
+                # stream (each kept slot contributes exactly one row there)
+                cols = _compact_by_key((inst_vis[0],
+                                        sat_bundle["kept"].astype(jnp.float32)),
+                                       key)
+                vis_sorted = cols[:, :1]
+                kept_prefix = jnp.concatenate([
+                    jnp.zeros((1,), jnp.int32),
+                    jnp.cumsum(tiling._scan_guard(
+                        cols[:, 1].astype(jnp.int32)))])
+                sat_bundle["seg_start"] = kept_prefix.at[inst.seg_start].get(
+                    indices_are_sorted=True, mode="promise_in_bounds")
+                sat_bundle["seg_end"] = kept_prefix.at[inst.seg_end].get(
+                    indices_are_sorted=True, mode="promise_in_bounds")
+                del sat_bundle["kept"]
+            else:
+                vis_sorted = _compact_by_key((inst_vis[0],), key)
             vis = segment_sum_contiguous(
                 vis_sorted, inst.seg_start, inst.seg_end, abutting=True)[:, 0]
-        return tile_img, vis, inst, packed
+        return tile_img, vis, inst, packed, sat_bundle
 
-    def assemble(tile_img, vis, inst):
+    def _saturation_bundle(inst, tile_img):
+        """Saturation-stream layout from the forward's consumed counts.
+
+        The forward kernel reports how many chunks each tile consumed
+        before every pixel saturated (image row 5); gradient slabs for
+        later instances are exactly zero (the backward's recursion reaches
+        the identical early-exit), so the backward streams only the
+        consumed prefix of each tile into `max_sat_instances` compacted
+        slots. Overflow drops those tiles' gradients and is COUNTED."""
+        k = config.chunk_size
+        m_sat = config.max_sat_instances
+        used = tile_img[:, 5, 0].astype(jnp.int32)          # (T,) chunks
+        consumed = jnp.minimum(inst.tile_counts, used * k)  # (T,) instances
+        sat_unc = k * jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(tiling._scan_guard(used))])          # (T+1,)
+        sat_demand = sat_unc[-1]
+        sat_starts = jnp.minimum(sat_unc, m_sat)
+        avail = sat_starts[1:] - sat_starts[:-1]
+        counts_sat = jnp.minimum(consumed, avail)
+        sat_clipped = jnp.sum(consumed) - jnp.sum(counts_sat)
+
+        # kept flag per aligned slot: valid AND within the consumed (and
+        # capacity-capped) prefix of its tile run — chunk-granularity
+        # scans + tiny (T,)-table gathers, no (Ma,)-sized random access
+        ma = inst.valid.shape[0]
+        c = ma // k
+        t_c = jnp.minimum(inst.tile_id.reshape(c, k)[:, 0],
+                          grid.num_tiles - 1)               # (C,)
+        start_c = inst.tile_starts.at[t_c].get(
+            mode="promise_in_bounds")                       # (C,)
+        local = jnp.arange(c, dtype=jnp.int32) * k - start_c
+        lane = jnp.arange(k, dtype=jnp.int32)
+        lim_c = counts_sat.at[t_c].get(mode="promise_in_bounds")
+        kept2d = (local[:, None] + lane[None, :]) < lim_c[:, None]
+        kept = inst.valid & kept2d.reshape(ma)
+        return dict(sat_starts=sat_starts, counts_sat=counts_sat,
+                    sat_demand=sat_demand, sat_clipped=sat_clipped,
+                    kept=kept)
+
+    def assemble(tile_img, vis, inst, sat_bundle):
         planes = rasterize_pallas.tiles_to_image(tile_img[:, :5], grid, image_size)
         image = planes[..., 0:3]
         alpha = 1.0 - planes[..., 3]
         median_ndc = jnp.where(alpha >= 0.5, planes[..., 4], 1.0)
-        return RasterOut(image, alpha, median_ndc, vis, inst.clipped,
-                         inst.total, inst.demand)
+        clipped = inst.clipped
+        sat_demand = jnp.int32(0)
+        if sat_bundle is not None:
+            clipped = clipped + sat_bundle["sat_clipped"]
+            sat_demand = sat_bundle["sat_demand"]
+        return RasterOut(image, alpha, median_ndc, vis, clipped,
+                         inst.total, inst.demand, sat_demand)
 
     @jax.custom_vjp
     def f(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
         del heur_sink
-        tile_img, vis, inst, _ = forward_parts(mean, conic, opacity, color, depth_ndc, radius)
-        return assemble(tile_img, vis, inst)
+        tile_img, vis, inst, _, sat_bundle = forward_parts(
+            mean, conic, opacity, color, depth_ndc, radius)
+        return assemble(tile_img, vis, inst, sat_bundle)
 
     def f_fwd(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
         del heur_sink
-        tile_img, vis, inst, packed = forward_parts(
+        tile_img, vis, inst, packed, sat_bundle = forward_parts(
             mean, conic, opacity, color, depth_ndc, radius)
-        out = assemble(tile_img, vis, inst)
-        res = (packed, inst, tile_img, mean.shape[0])
+        out = assemble(tile_img, vis, inst, sat_bundle)
+        res = (packed, inst, tile_img, mean.shape[0], sat_bundle)
         return out, res
 
     def f_bwd(res, ct: RasterOut):
-        packed, inst, tile_img, n = res
+        packed, inst, tile_img, n, sat_bundle = res
 
         # map image-space cotangents back to tile-major rows [rgb, dT]
         ct_rgb = rasterize_pallas.image_to_tiles(ct.image, grid)          # (T,3,P)
         ct_T = rasterize_pallas.image_to_tiles(-ct.alpha[..., None], grid)  # (T,1,P)
         ct_tile = jnp.concatenate([ct_rgb, ct_T], axis=1)
 
-        inst_grad_t = rasterize_pallas.rasterize_backward(
-            inst.tile_starts, inst.tile_counts, packed, ct_tile, tile_img,
-            grid, image_size, config, interpret=interpret)  # (16, Ma)
+        if sat:
+            inst_grad_t = rasterize_pallas.rasterize_backward(
+                inst.tile_starts, sat_bundle["counts_sat"], packed, ct_tile,
+                tile_img, grid, image_size, config, interpret=interpret,
+                sat_starts=sat_bundle["sat_starts"],
+                n_points=n)  # (16, Msat)
+        else:
+            inst_grad_t = rasterize_pallas.rasterize_backward(
+                inst.tile_starts, inst.tile_counts, packed, ct_tile,
+                tile_img, grid, image_size, config,
+                interpret=interpret)  # (16, Ma)
         if config.reduce == "segment":
             inst_grad = jnp.where(inst.valid[:, None], inst_grad_t.T, 0.0)
             seg = jax.ops.segment_sum(inst_grad, inst.gaussian_id,
@@ -184,14 +271,24 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
             # a full (8,128) HBM tile); payload lanes in one gid-keyed sort
             # move the same data ~2x cheaper and land directly in compact
             # order (rank == compact position, tiling.Instances docstring).
-            compact = (_compact_by_gid_bf16 if config.grad_bf16_pack
-                       else _compact_by_gid)
+            # On the saturation path the kernel emitted the key itself and
+            # the whole sort runs at the (much smaller) sat capacity.
+            if sat:
+                key = inst_grad_t[rasterize_pallas.GRAD_KEY_ROW
+                                  ].astype(jnp.int32)
+                seg_start = sat_bundle["seg_start"]
+                seg_end = sat_bundle["seg_end"]
+            else:
+                key = _compact_key(inst, n)
+                seg_start, seg_end = inst.seg_start, inst.seg_end
+            compact = (_compact_by_key_bf16 if config.grad_bf16_pack
+                       else _compact_by_key)
             grad_sorted = compact(
                 tuple(inst_grad_t[i]
                       for i in range(rasterize_pallas.GRAD_USED)),
-                inst, n)
+                key)
             seg = segment_sum_contiguous(
-                grad_sorted, inst.seg_start, inst.seg_end, abutting=True)
+                grad_sorted, seg_start, seg_end, abutting=True)
 
         d_mean = seg[:, 0:2]
         d_conic = seg[:, 2:5]
@@ -231,7 +328,8 @@ def _make_dense_fn(grid: tiling.TileGrid, image_size, config: RasterConfig):
             inputs, image_size, grid, config)
         vis = jnp.zeros_like(vis_sorted).at[order].set(vis_sorted)
         zero = jnp.int32(0)
-        return RasterOut(image, alpha, median_ndc, vis, zero, zero, zero)
+        return RasterOut(image, alpha, median_ndc, vis, zero, zero, zero,
+                         zero)
 
     def f_fwd(mean, conic, opacity, color, depth_ndc, radius, heur_sink):
         out = f(mean, conic, opacity, color, depth_ndc, radius, heur_sink)
@@ -281,6 +379,11 @@ def render_projected(
     radius_masked = jnp.where(g2d.visible, g2d.radius, 0.0)
 
     if backend == "pallas":
+        if config.max_sat_instances is not None and config.reduce == "segment":
+            raise ValueError(
+                "max_sat_instances (saturation compaction) requires the "
+                "gather reduction — the segment_sum path reduces over the "
+                "full aligned stream")
         interpret = jax.default_backend() == "cpu"
         if not interpret and config.chunk_size % 128 != 0:
             # Mosaic requires HBM slices along the lane dimension to be
@@ -322,6 +425,7 @@ def render_projected(
         clipped_instances=out.clipped,
         num_instances=out.instances,
         instance_demand=out.demand,
+        sat_demand=out.sat_demand,
     )
 
 

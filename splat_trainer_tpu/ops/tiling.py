@@ -262,12 +262,14 @@ def expand_and_sort(
     # into a zero-copy bitcast (measured: the 12 passes stay); reshaping
     # the transpose to 1D changes element order, which XLA cannot bitcast,
     # so one real copy materializes and every row below is a contiguous
-    # (M,) stream.
+    # (M,) stream. The optimization_barrier pins the materialization even
+    # if a future compiler learns to re-fuse the transpose+reshape pair.
     ncol = aux.shape[1]
-    aux = aux.T.reshape(ncol * M)
-    aux = [aux[i * M:(i + 1) * M] for i in range(ncol)]
-    offs_f, sx_f = aux[0], aux[1]
-    x0_f, y0_f, dq_i = aux[2], aux[3], aux[4]
+    aux_flat = aux.T.reshape(ncol * M)
+    (aux_flat,) = jax.lax.optimization_barrier((aux_flat,))
+    aux_cols = [aux_flat[i * M:(i + 1) * M] for i in range(ncol)]
+    offs_f, sx_f = aux_cols[0], aux_cols[1]
+    x0_f, y0_f, dq_i = aux_cols[2], aux_cols[3], aux_cols[4]
 
     # instance -> tile within the gaussian's rect. Integer div/mod by a
     # runtime divisor has no native VPU op (~30ms/op at 2M); exact float
@@ -281,9 +283,9 @@ def expand_and_sort(
     keep_inst = valid
     if do_cull:
         min_q = ellipse_tile_min_q(
-            x0_f + rx, y0_f + ry, aux[5], aux[6],
-            aux[7], aux[8], aux[9], grid.tile_size)
-        keep_inst = valid & (min_q <= aux[10])
+            x0_f + rx, y0_f + ry, aux_cols[5], aux_cols[6],
+            aux_cols[7], aux_cols[8], aux_cols[9], grid.tile_size)
+        keep_inst = valid & (min_q <= aux_cols[10])
 
     # compacted pre-sort renumbering (reduction support): cull survivors
     # keep their relative pre-sort order under a dense renumbering, so

@@ -74,7 +74,7 @@ def make_dp_train_step(
         # occupancy metrics are worst-view maxima (they size the instance
         # bucketing): pmax across camera shards, not a mean of maxima
         metrics = dict(summed.metrics)
-        for k in ("num_instances", "instance_demand"):
+        for k in ("num_instances", "instance_demand", "sat_demand"):
             if k in metrics:
                 metrics[k] = jax.lax.pmax(bundle.metrics[k], CAMERA_AXIS)
         return summed.replace(

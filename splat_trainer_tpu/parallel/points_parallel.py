@@ -283,10 +283,14 @@ def make_local_grads(
                          else jnp.int32(0),
                          rendering.instance_demand
                          if rendering.instance_demand is not None
+                         else jnp.int32(0),
+                         rendering.sat_demand
+                         if rendering.sat_demand is not None
                          else jnp.int32(0))
                 occupancy = occ_i if metrics_acc is None else (
                     jnp.maximum(occupancy[0], occ_i[0]),
-                    jnp.maximum(occupancy[1], occ_i[1]))
+                    jnp.maximum(occupancy[1], occ_i[1]),
+                    jnp.maximum(occupancy[2], occ_i[2]))
                 metrics_acc = (metrics if metrics_acc is None
                                else jax.tree_util.tree_map(
                                    lambda a, b: a + b, metrics_acc, metrics))
@@ -298,6 +302,7 @@ def make_local_grads(
                 lambda x: x / k, metrics_acc)
             metrics_acc["num_instances"] = occupancy[0]
             metrics_acc["instance_demand"] = occupancy[1]
+            metrics_acc["sat_demand"] = occupancy[2]
             aux = dict(
                 vis_full=jnp.stack(vis_ks),          # (k, D*cap_l)
                 in_view_full=jnp.stack(in_view_ks),
@@ -347,7 +352,7 @@ def make_local_grads(
         # bucketing) — reduce across chips with pmax, not a mean of maxima
         m_local = dict(aux["metrics"])
         occ = {k: jax.lax.pmax(m_local.pop(k), POINTS_AXIS)
-               for k in ("num_instances", "instance_demand")}
+               for k in ("num_instances", "instance_demand", "sat_demand")}
         metrics = jax.tree_util.tree_map(lambda m: psum(m) / D, m_local)
         metrics.update(occ)
 
@@ -464,7 +469,7 @@ def make_dp_pp_train_step(
 
         m_local = dict(bundle.metrics)
         occ = {k: jax.lax.pmax(m_local.pop(k), CAMERAS_AXIS)
-               for k in ("num_instances", "instance_demand")
+               for k in ("num_instances", "instance_demand", "sat_demand")
                if k in m_local}   # worst-view maxima: pmax, not mean
         m_red = jax.tree_util.tree_map(lambda m: csum(m) / dc, m_local)
         m_red.update(occ)

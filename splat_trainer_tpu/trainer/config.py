@@ -73,6 +73,12 @@ class TrainConfig:
     # bf16-packed payload lanes in the backward's gid sort (see
     # RasterConfig.grad_bf16_pack; golden-gated, off switch for A/B)
     grad_bf16_pack: bool = True
+    # backward saturation compaction (RasterConfig.max_sat_instances): the
+    # backward's stream ops run only over each tile's forward-consumed
+    # chunk prefix (bit-identical gradients; overflow counted + bucketed).
+    # The capacity is a THIRD bucket dimension sized from measured
+    # sat_demand; this flag enables it on the single-chip pallas path.
+    saturation_cull: bool = True
     # basis-matmul kernel variants (see RasterConfig.kernel_basis).
     # Default False: on-chip A/B (PROFILE.md) measured the direct
     # elementwise VPU path faster at both tile sizes — the tall-skinny

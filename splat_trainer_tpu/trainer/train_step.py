@@ -58,6 +58,7 @@ class StepMetrics:
     # capacity-bucketing signals (max over the batch's images)
     num_instances: jax.Array
     instance_demand: jax.Array
+    sat_demand: jax.Array
 
 
 def camera_from_batch(batch: TrainBatch, i: int, image_size) -> CameraParams:
@@ -171,11 +172,14 @@ def batch_gradients(
                       if rendering.num_instances is not None else jnp.int32(0))
             m_dem = (rendering.instance_demand
                      if rendering.instance_demand is not None else jnp.int32(0))
+            m_sat = (rendering.sat_demand
+                     if rendering.sat_demand is not None else jnp.int32(0))
             if metrics_acc is None:
-                occupancy = (m_inst, m_dem)
+                occupancy = (m_inst, m_dem, m_sat)
             else:
                 occupancy = (jnp.maximum(occupancy[0], m_inst),
-                             jnp.maximum(occupancy[1], m_dem))
+                             jnp.maximum(occupancy[1], m_dem),
+                             jnp.maximum(occupancy[2], m_sat))
             metrics_acc = m if metrics_acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, metrics_acc, m)
             aux_renders.append(dict(
@@ -187,6 +191,7 @@ def batch_gradients(
         metrics_acc = jax.tree_util.tree_map(lambda x: x / B, metrics_acc)
         metrics_acc["num_instances"] = occupancy[0]
         metrics_acc["instance_demand"] = occupancy[1]
+        metrics_acc["sat_demand"] = occupancy[2]
         return total, (vis_acc, metrics_acc, aux_renders)
 
     params = ms.trainable_params(scene)
@@ -244,6 +249,7 @@ def apply_updates(
         clipped_instances=metrics["clipped"],
         num_instances=metrics["num_instances"],
         instance_demand=metrics["instance_demand"],
+        sat_demand=metrics["sat_demand"],
     )
     return scene, pstate, step_metrics
 

@@ -205,9 +205,7 @@ class Trainer:
         else:
             self._train_step = self._bucketed_train_step
             self._step_cache = {}
-            rc = config.raster_config()
-            self._bucket = (rc.max_instances,
-                            rc.max_render_instances or rc.max_instances)
+            self._bucket = self._initial_bucket()
             self._shrink_streak = 0
         self._densify = self._build_controller_fns()
         self._grad_fn = None  # details-mode gradient probe (built lazily)
@@ -331,9 +329,7 @@ class Trainer:
                 self._step_cache = {}
                 # re-anchor the bucket to the NEW capacities, else the next
                 # step recompiles at the stale sizes
-                rc = self.config.raster_config()
-                self._bucket = (rc.max_instances,
-                                rc.max_render_instances or rc.max_instances)
+                self._bucket = self._initial_bucket()
                 self._shrink_streak = 0
             self._eval_render = jax.jit(functools.partial(
                 eval_image_device,
@@ -599,6 +595,19 @@ class Trainer:
     # waits this many steps after it.
     SHRINK_QUIET_STEPS = 1500
 
+    def _sat_enabled(self) -> bool:
+        """Saturation compaction applies on the single-chip pallas path."""
+        from splat_trainer_tpu.ops.renderer import resolve_backend
+        return (self.config.saturation_cull
+                and resolve_backend(self.config.raster_config()) == "pallas")
+
+    def _initial_bucket(self):
+        rc = self.config.raster_config()
+        mr = rc.max_render_instances or rc.max_instances
+        # the sat stream starts capacity-neutral (= Mr, lossless) and
+        # shrinks once sat_demand is measured
+        return (rc.max_instances, mr, mr if self._sat_enabled() else None)
+
     def _capacity_ladder(self):
         rc = self.config.raster_config()
         ceiling = rc.max_instances
@@ -626,11 +635,12 @@ class Trainer:
     def _get_step_fn(self, bucket):
         fn = self._step_cache.get(bucket)
         if fn is None:
-            m, mr = bucket
+            m, mr, msat = bucket
             import dataclasses
             rc = dataclasses.replace(
                 self.config.raster_config(),
-                max_instances=m, max_render_instances=mr)
+                max_instances=m, max_render_instances=mr,
+                max_sat_instances=msat)
             fn = jax.jit(
                 functools.partial(
                     train_step,
@@ -653,42 +663,59 @@ class Trainer:
         # only the kept ones)
         instances = (int(metrics.num_instances)
                      + int(float(metrics.clipped_instances) + 0.999))
+        sat = int(getattr(metrics, "sat_demand", 0) or 0)
         if demand == 0 and instances == 0:
             return   # dense backend / no signal
-        need_m = int(demand * self.BUCKET_HEADROOM)
-        need_mr = int(instances * self.BUCKET_HEADROOM)
+        cur = self._bucket
+        has_sat = cur[2] is not None
+        need = (int(demand * self.BUCKET_HEADROOM),
+                int(instances * self.BUCKET_HEADROOM),
+                int(sat * self.BUCKET_HEADROOM) if has_sat else 0)
         # shrink sizes to the running max since the last bucket change:
         # per-camera demand varies by about the fine-rung spacing, so
         # sizing a shrink to one camera's low would thrash against the
         # next high camera (each transition is a full re-jit)
-        hi_m, hi_mr = getattr(self, "_need_hi", (0, 0))
-        self._need_hi = (max(hi_m, need_m), max(hi_mr, need_mr))
-        want_m = self._ladder_fit(need_m)
-        want_mr = min(self._ladder_fit(need_mr), want_m)
-        cur_m, cur_mr = self._bucket
-        if want_m > cur_m or want_mr > cur_mr or int(metrics.clipped_instances) > 0:
+        hi = getattr(self, "_need_hi", (0, 0, 0))
+        self._need_hi = tuple(max(a, b) for a, b in zip(hi, need))
+
+        def fit(needs, coarse=False):
+            m = self._ladder_fit(needs[0], coarse=coarse)
+            mr = min(self._ladder_fit(needs[1], coarse=coarse), m)
+            # the sat stream never exceeds the render stream it compacts
+            msat = (min(self._ladder_fit(needs[2], coarse=coarse), mr)
+                    if has_sat else None)
+            return (m, mr, msat)
+
+        want = fit(need)
+        cmp_cur = cur if has_sat else cur[:2] + (0,)
+        cmp_want = want if has_sat else want[:2] + (0,)
+        grow = (any(w > c for w, c in zip(cmp_want, cmp_cur)
+                    if c is not None)
+                or int(metrics.clipped_instances) > 0)
+        if grow:
             # growth picks from the COARSE ladder: demand rises monotonically
             # through densification and every rung crossed is a ~2-3 min
             # remote re-jit; the fine rungs are reached later via shrink once
             # occupancy stabilizes
-            grow_m = self._ladder_fit(need_m, coarse=True)
-            grow_mr = min(self._ladder_fit(need_mr, coarse=True), grow_m)
-            self._bucket = (max(grow_m, cur_m), max(grow_mr, cur_mr))
+            g = fit(need, coarse=True)
+            self._bucket = tuple(
+                None if c is None else max(gv, c) for gv, c in zip(g, cur))
             self._shrink_streak = 0
-            self._need_hi = (need_m, need_mr)
+            self._need_hi = need
             self._last_grow_step = self.step
-        elif want_m < cur_m or want_mr < cur_mr:
+        elif any(w < c for w, c in zip(cmp_want, cmp_cur) if c is not None):
             quiet = self.step - getattr(self, "_last_grow_step", 0)
             if quiet < self.SHRINK_QUIET_STEPS:
                 return
             self._shrink_streak += 1
             if self._shrink_streak >= self.SHRINK_STREAK:
-                shr_m = self._ladder_fit(self._need_hi[0])
-                shr_mr = min(self._ladder_fit(self._need_hi[1]), shr_m)
-                if (shr_m, shr_mr) != (cur_m, cur_mr):
-                    self._bucket = (min(shr_m, cur_m), min(shr_mr, cur_mr))
+                shr = fit(self._need_hi)
+                new = tuple(None if c is None else min(sv, c)
+                            for sv, c in zip(shr, cur))
+                if new != cur:
+                    self._bucket = new
                 self._shrink_streak = 0
-                self._need_hi = (need_m, need_mr)
+                self._need_hi = need
         else:
             self._shrink_streak = 0
 
@@ -729,12 +756,14 @@ class Trainer:
             self.logger.log_value("train/clipped_instances", clipped)
         self.logger.log_values("train/occupancy", dict(
             instances=int(m.num_instances),
-            demand=int(m.instance_demand)))
+            demand=int(m.instance_demand),
+            sat_demand=int(getattr(m, "sat_demand", 0) or 0)))
         if getattr(self, "_bucket", None) is not None:
             self._update_bucket(m)
             self.logger.log_values("train/bucket", dict(
                 max_instances=self._bucket[0],
-                max_render=self._bucket[1]))
+                max_render=self._bucket[1],
+                max_sat=self._bucket[2] or 0))
 
     def _build_controller_fns(self) -> SimpleNamespace:
         """Jit the controller's device programs ONCE per Trainer.
@@ -803,7 +832,9 @@ class Trainer:
                 mr_ceil = rc_ceil.max_render_instances or rc_ceil.max_instances
                 can_grow = (bucket is not None
                             and (bucket[0] < rc_ceil.max_instances
-                                 or bucket[1] < mr_ceil))
+                                 or bucket[1] < mr_ceil
+                                 or (len(bucket) > 2 and bucket[2] is not None
+                                     and bucket[2] < mr_ceil)))
                 ctl.note_clipping(clipped, self.config.max_instances,
                                   self.progress, can_grow=can_grow)
                 args = ctl.densify_args(self.progress)

@@ -211,3 +211,73 @@ def test_compacted_backward_parity():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, atol=2e-3 * scale, err_msg=name)
+
+
+def test_saturation_compaction_parity():
+    """max_sat_instances: the backward streams only each tile's
+    forward-consumed chunk prefix. Instances past the early-exit get
+    exactly zero gradient from the kernel, so outputs are bit-identical and
+    gradients match to ~1 ulp (the compensated segmented reduction's block
+    partition depends on the static stream length, regrouping f32 sums at
+    the 2^-48 level) when the stream fits."""
+    g, cam, config = setup(n=200, seed=7, grad_bf16_pack=False)
+    # deep opaque stacks so saturation genuinely truncates several chunks
+    g = g.replace(alpha_logit=g.alpha_logit + 4.0)
+    base = dict(config, max_instances=2048, max_render_instances=1024)
+    sat = dict(base, max_sat_instances=1024)
+
+    r0 = render_with("pallas", g, cam, base)
+    r1 = render_with("pallas", g, cam, sat)
+    np.testing.assert_array_equal(r0.image, r1.image)
+    np.testing.assert_array_equal(r0.points.visibility, r1.points.visibility)
+    assert int(r1.clipped_instances) == 0
+    assert int(r1.sat_demand) > 0
+
+    g0 = loss_and_grads("pallas", g, cam, base)
+    g1 = loss_and_grads("pallas", g, cam, sat)
+    names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
+    for name, a, b in zip(names, g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=3e-6, atol=3e-6 * scale,
+                                   err_msg=name)
+
+
+def test_saturation_compaction_truncates_and_bf16():
+    """The sat stream must be SMALLER than the render stream on a
+    saturating scene (the point of the feature), and compose with the
+    bf16-packed sort payloads, matching bf16-without-sat to ~1 ulp."""
+    # near-opaque splats large enough to blanket whole tiles: every tile
+    # saturates within a few chunks, so the consumed stream is a small
+    # prefix of the thousands of rendered instances
+    g, cam, config = setup(n=400, seed=11)
+    g = g.replace(alpha_logit=g.alpha_logit + 6.0,
+                  log_scaling=g.log_scaling + 1.5)
+    base = dict(config, max_instances=8192, max_render_instances=4096,
+                grad_bf16_pack=True)
+    sat = dict(base, max_sat_instances=4096)
+    r1 = render_with("pallas", g, cam, sat)
+    assert int(r1.sat_demand) > 0
+    # saturation truncation engaged: consumed stream < rendered instances
+    # (chunk_size 16 granularity; the deep stacks guarantee early exits)
+    assert int(r1.sat_demand) < int(r1.num_instances), (
+        int(r1.sat_demand), int(r1.num_instances))
+
+    g0 = loss_and_grads("pallas", g, cam, base)
+    g1 = loss_and_grads("pallas", g, cam, sat)
+    for a, b in zip(g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=3e-6, atol=3e-6 * scale)
+
+
+def test_saturation_overflow_counted():
+    """A sat capacity below demand drops gradients for the overflowing
+    tiles — clipped_instances must report it (never silent)."""
+    g, cam, config = setup(n=200, seed=7)
+    g = g.replace(alpha_logit=g.alpha_logit + 4.0)
+    sat = dict(config, max_instances=2048, max_render_instances=1024,
+               max_sat_instances=64)
+    r = render_with("pallas", g, cam, sat)
+    assert int(r.sat_demand) > 64
+    assert int(r.clipped_instances) > 0
