@@ -412,7 +412,7 @@ def main():
             best = min(ok, key=lambda r: r[2])
             # re-toggle the kernel-strategy knobs at the winning binning
             # config (their win/loss flips with occupancy per tile)
-            for knob in ("kernel_basis", "cumprod_scan"):
+            for knob in ("kernel_basis", "cumprod_scan", "bwd_moments"):
                 cur = getattr(best[1], knob)
                 cand = dataclasses.replace(best[1], **{knob: not cur})
                 if any(r[1] == cand for r in ab_table):

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--tiles-per-block", type=int, default=0,
                     help="tiles composited per Pallas grid step (amortizes "
                          "per-grid-step overhead; try 4/8)")
+    ap.add_argument("--bwd-moments", action="store_true",
+                    help="MXU moments contraction for the backward's "
+                         "gradient reductions (RasterConfig.bwd_moments)")
+    ap.add_argument("--chunk-size", type=int, default=0,
+                    help="instances per inner kernel step (multiple of 128)")
     ap.add_argument("--sat", type=int, default=0,
                     help="max_sat_instances (backward saturation "
                          "compaction capacity; 0 = off)")
@@ -74,6 +79,10 @@ def main():
         rcfg = dataclasses.replace(rcfg, grad_bf16_pack=True)
     if args.tiles_per_block:
         rcfg = dataclasses.replace(rcfg, tiles_per_block=args.tiles_per_block)
+    if args.bwd_moments:
+        rcfg = dataclasses.replace(rcfg, bwd_moments=True)
+    if args.chunk_size:
+        rcfg = dataclasses.replace(rcfg, chunk_size=args.chunk_size)
     if args.sat:
         rcfg = dataclasses.replace(rcfg, max_sat_instances=args.sat)
     pstate = PointState.new_zeros(scene.capacity)

@@ -203,6 +203,13 @@ class RasterConfig:
     # the trainer buckets this capacity from the reported sat_demand like
     # the other two. None = off (backward streams at max_render_instances).
     max_sat_instances: Optional[int] = None
+    # backward gradient reductions as ONE MXU moments contraction
+    # (basis_t @ dpow, tile-local polynomial basis) while geometry stays on
+    # the direct elementwise path: the six (P, K) -> (1, K) VPU
+    # multiply+reduce chains (position/conic/opacity gradients) ride the
+    # otherwise-idle MXU instead. Same math up to matmul association
+    # (like kernel_basis, which switches geometry AND reductions together).
+    bwd_moments: bool = False
     # transmittance prefix-product strategy inside the kernels:
     #   False — log-space: log1p + MXU triangular matmul + exp (two VPU
     #           transcendentals per chunk, scan itself rides the MXU)

@@ -466,8 +466,12 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         end = start + counts_ref[t]
         c0_sat = sat_starts_ref[t] // k
         px, py, valid_px = _pixel_coords(t, grid, image_size)
+        moments = config.kernel_basis or config.bwd_moments
         if config.kernel_basis:
             basis, bcx, bcy = _tile_basis(t, grid)
+        if moments:
+            if not config.kernel_basis:
+                _, bcx, bcy = _tile_basis(t, grid)
             basis_t = _tile_basis_t(t, grid)
         c0, nch = _chunk_bounds(start, end, k)
 
@@ -491,10 +495,14 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         ct_T = ct_ref[bg, 3:4, :].reshape(p, 1)     # final-transmittance ct
         Cfin = img_ref[bg, 0:3, :]
         Tfin = img_ref[bg, 3:4, :].reshape(p, 1)
-        F = jnp.sum(Cfin * g, axis=0, keepdims=True).reshape(p, 1)
+        # fold the final-transmittance cotangent into the suffix constant:
+        # d_alpha = T_excl*cg - (F - prefix)/om - ct_T*Tfin/om
+        #         = T_excl*cg - (F2 - prefix)/om   — ONE (P, K) division
+        F2 = (jnp.sum(Cfin * g, axis=0, keepdims=True).reshape(p, 1)
+              + ct_T * Tfin)
         gmag_row = jnp.sum(jnp.abs(g), axis=0, keepdims=True)       # (1, P)
         gmag = gmag_row.reshape(p, 1)
-        if config.kernel_basis:
+        if moments:
             gp = jnp.concatenate([g, gmag_row], axis=0)             # (4, P)
 
         def cond(carry):
@@ -546,18 +554,23 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             wcg = w * cg
             # inclusive prefix on the MXU: exclusive + diagonal term
             prefix = S + _cumsum_excl(wcg, u_strict) + wcg
-            Sg_after = F - prefix
+            Sg_after = F2 - prefix  # includes the dTfin/da_k = -Tfin/om term
 
             safe_om = jnp.maximum(om, 1e-6)
             d_alpha = T_excl * cg - Sg_after / safe_om
-            d_alpha = d_alpha - ct_T * Tfin / safe_om  # dTfin/da_k = -Tfin/(1-a_k)
             d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
 
             unclamped = alpha < config.alpha_clamp
             d_al_u = jnp.where(unclamped, d_alpha, 0.0)
             dpow = d_al_u * alpha                                    # (P, K)
 
-            if config.kernel_basis:
+            if moments and not config.kernel_basis:
+                # elementwise geometry, MXU reductions: recover the
+                # tile-local mean offsets the moment corrections need
+                mxq = data[0:1, :] - bcx
+                myq = data[1:2, :] - bcy
+                op = data[5:6, :]
+            if moments:
                 # ALL position/conic gradient reductions from ONE MXU
                 # contraction: moments of dpow against the tile-local pixel
                 # polynomial basis. With dx = qx - mxq (both tile-local):

@@ -287,8 +287,13 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
                 tuple(inst_grad_t[i]
                       for i in range(rasterize_pallas.GRAD_USED)),
                 key)
+            # bf16-packed lanes are already quantized at ~0.4% per
+            # instance; the in-block f32 prefix rounding (<= eps * 512
+            # rows) is noise next to it, and dropping the compensation
+            # halves the per-COLUMN boundary gather (ops/segmented.py)
             seg = segment_sum_contiguous(
-                grad_sorted, seg_start, seg_end, abutting=True)
+                grad_sorted, seg_start, seg_end, abutting=True,
+                compensated=not config.grad_bf16_pack)
 
         d_mean = seg[:, 0:2]
         d_conic = seg[:, 2:5]

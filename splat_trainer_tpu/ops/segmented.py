@@ -47,6 +47,7 @@ def segment_sum_contiguous(
     ends: jax.Array,        # (N,) int32 — segment end in [0, M], end >= start
     block: int = 512,
     abutting: bool = False,
+    compensated: bool = True,
 ) -> jax.Array:
     """Sum `values[starts[i]:ends[i]]` per segment -> (N, R) f32.
 
@@ -59,6 +60,16 @@ def segment_sum_contiguous(
     prefix at each start is the previous segment's end prefix, and the
     boundary gather shrinks from 2N rows to N (TPU gathers pay ~25 ns per
     ROW — the dominant cost here — so this halves the reduction's gather).
+
+    `compensated=False` keeps the IN-BLOCK prefixes plain f32 (the
+    across-block level stays double-f32): the boundary gather — which pays
+    per COLUMN on TPU (~1.2 ms per (600k,) column, measured) — then moves
+    R columns instead of 2R. Error is bounded by eps * |in-block prefix|
+    (<= eps * sum|values| over <=512 rows). Right for SIGNED, already-
+    quantized summands (the bf16-packed gradient lanes: 0.4% per-instance
+    quantization dwarfs the f32 prefix rounding); wrong for all-positive
+    rows whose running prefix grows unboundedly (visibility — keep the
+    default there).
     """
     m, r = values.shape
     block = min(block, m)
@@ -70,17 +81,23 @@ def segment_sum_contiguous(
     # prefix to ulp(|prefix|), which swamps segments much smaller than their
     # in-block neighbors (e.g. visibility ~1e-2 after a ~1e4 prefix)
     vb = values.reshape(nb, block, r)
-    cin_hi, cin_lo = lax.associative_scan(
-        _dd_add, (vb, jnp.zeros_like(vb)), axis=1)
-    # exclusive = inclusive - element (dd)
-    cex_hi, cex_lo = _dd_add((cin_hi, cin_lo), (-vb, jnp.zeros_like(vb)))
-    # interleave (hi | lo) into one (M, 2R) matrix: TPU gathers cost ~8 ns
-    # per INDEX regardless of modest row width, so one wide gather beats
-    # two — and one gather over [ends; starts] beats two over each
-    cex = jnp.concatenate(
-        [cex_hi.reshape(m, r), cex_lo.reshape(m, r)], axis=1)  # (M, 2R)
-    bsum_hi = cin_hi[:, -1, :]                         # (nb, R) block sums
-    bsum_lo = cin_lo[:, -1, :]
+    if compensated:
+        cin_hi, cin_lo = lax.associative_scan(
+            _dd_add, (vb, jnp.zeros_like(vb)), axis=1)
+        # exclusive = inclusive - element (dd)
+        cex_hi, cex_lo = _dd_add((cin_hi, cin_lo), (-vb, jnp.zeros_like(vb)))
+        # interleave (hi | lo) into one (M, 2R) matrix: TPU gathers cost ~8 ns
+        # per INDEX regardless of modest row width, so one wide gather beats
+        # two — and one gather over [ends; starts] beats two over each
+        cex = jnp.concatenate(
+            [cex_hi.reshape(m, r), cex_lo.reshape(m, r)], axis=1)  # (M, 2R)
+        bsum_hi = cin_hi[:, -1, :]                     # (nb, R) block sums
+        bsum_lo = cin_lo[:, -1, :]
+    else:
+        cin = jnp.cumsum(vb, axis=1)
+        cex = (cin - vb).reshape(m, r)                 # (M, R)
+        bsum_hi = cin[:, -1, :]
+        bsum_lo = jnp.zeros_like(bsum_hi)
 
     # across-block exclusive prefix, also compensated
     hi, lo = lax.associative_scan(_dd_add, (bsum_hi, bsum_lo), axis=0)
@@ -94,9 +111,19 @@ def segment_sum_contiguous(
     idx = ends if abutting else jnp.concatenate([ends, starts])
     at_end = (idx >= m)[:, None]
     safe = jnp.minimum(idx, m - 1)
-    base = jnp.where(at_end, total[None, :], bpre[safe // block])
-    inb = jnp.where(at_end, 0.0, cex[safe])            # ONE big gather
-    p_hi, p_lo = _dd_add((base[:, :r], base[:, r:]), (inb[:, :r], inb[:, r:]))
+    # abutting ends are non-decreasing (prefix positions): the sorted-gather
+    # hint is worth ~3x on TPU for the (N, 2R) boundary row gather
+    # (measured 24 ms -> 8 ms at N=600k, R=10 — scripts_dev/
+    # micro_gather_layout.py)
+    base = jnp.where(at_end, total[None, :],
+                     bpre.at[safe // block].get(
+                         indices_are_sorted=abutting,
+                         mode="promise_in_bounds"))
+    inb = jnp.where(at_end, 0.0,
+                    cex.at[safe].get(indices_are_sorted=abutting,
+                                     mode="promise_in_bounds"))
+    inb_lo = inb[:, r:] if compensated else jnp.zeros_like(inb[:, :r])
+    p_hi, p_lo = _dd_add((base[:, :r], base[:, r:]), (inb[:, :r], inb_lo))
 
     if abutting:
         zero = jnp.zeros((1, r), values.dtype)

@@ -281,3 +281,17 @@ def test_saturation_overflow_counted():
     r = render_with("pallas", g, cam, sat)
     assert int(r.sat_demand) > 64
     assert int(r.clipped_instances) > 0
+
+
+def test_bwd_moments_parity():
+    """bwd_moments reduces the backward's position/conic/opacity gradients
+    as one MXU moments contraction instead of six VPU multiply+reduce
+    chains — same math up to matmul association (~1e-5 relative)."""
+    g, cam, config = setup(n=150, seed=3, grad_bf16_pack=False)
+    g0 = loss_and_grads("pallas", g, cam, config)
+    g1 = loss_and_grads("pallas", g, cam, dict(config, bwd_moments=True))
+    names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
+    for name, a, b in zip(names, g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, err_msg=name)
