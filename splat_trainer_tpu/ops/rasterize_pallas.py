@@ -312,11 +312,16 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 col, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-            T_incl = T_excl * (1.0 - alpha)
-            crossed = ((T_incl <= 0.5) & (T_excl > 0.5)).astype(jnp.float32)
-            med = med + lax.dot_general(
-                data[9:10, :], crossed, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (1, P)
+            if config.render_median_depth:
+                # median-depth channel: only the interactive/eval renders
+                # ask for it — the training step skips these ~4 (P, K)
+                # passes + contraction per chunk
+                T_incl = T_excl * (1.0 - alpha)
+                crossed = ((T_incl <= 0.5) & (T_excl > 0.5)
+                           ).astype(jnp.float32)
+                med = med + lax.dot_general(
+                    data[9:10, :], crossed, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (1, P)
 
             # per-instance visibility: pure double-buffered write (the slab
             # is exclusively ours). Wait for this slot's previous write

@@ -84,6 +84,11 @@ class TrainConfig:
     # elementwise VPU path faster at both tile sizes — the tall-skinny
     # (P,6)x(6,K) basis contraction doesn't pay on the MXU.
     kernel_basis: bool = False
+    # MXU moments contraction for the backward's gradient reductions
+    # (RasterConfig.bwd_moments; measured -2.6 ms at garden scale)
+    bwd_moments: bool = True
+    # tiles composited per Pallas grid step (RasterConfig.tiles_per_block)
+    tiles_per_block: int = 8
     # re-jit the step at the smallest capacity ladder size fitting measured
     # instance demand (max_instances stays the ceiling). Binning/sort/
     # reduction costs scale with the STATIC sizes, so this is a large
@@ -127,6 +132,8 @@ class TrainConfig:
             backend=self.raster_backend,
             grad_bf16_pack=self.grad_bf16_pack,
             kernel_basis=self.kernel_basis,
+            bwd_moments=self.bwd_moments,
+            tiles_per_block=self.tiles_per_block,
             render_median_depth=render_median_depth,
         )
 

@@ -315,7 +315,9 @@ class Trainer:
             self._densify = self._build_controller_fns()
         renderer_keys = {"antialias", "blur_cov", "tile_size",
                          "max_instances", "max_render_instances",
-                         "chunk_size", "raster_backend"}
+                         "chunk_size", "raster_backend", "grad_bf16_pack",
+                         "kernel_basis", "bwd_moments", "tiles_per_block",
+                         "saturation_cull"}
         if renderer_keys & set(kwargs):
             if self.mesh is not None:
                 # the DP/PP/2D-mesh train step is built once in __init__
