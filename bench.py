@@ -352,21 +352,26 @@ def main():
         float(np.asarray(m.mse))
         sc, ps, m = step_v(sc, ps, batches[1 % n_cams], hyper, key)
         float(np.asarray(m.mse))
-        t0 = time.perf_counter()
-        for i in range(iters_ab):
-            sc, ps, m = step_v(sc, ps, batches[i % n_cams], hyper, key)
-        # end timing on a forced device->host transfer, NOT
-        # block_until_ready: the axon relay has been observed returning
-        # from block_until_ready before the chained steps complete
-        # (sub-ms "measurements" of a 250 ms step); a host copy of an
-        # output cannot complete early. Finiteness doubles as a check
-        # that the candidate actually computed.
-        mse = float(np.asarray(m.mse))
-        dt = (time.perf_counter() - t0) / iters_ab
+        # TWO chained loops per candidate, best-of-2: single-sample A/Bs
+        # through the relay flip 5-10% calls on noise (VERDICT r2 weak #7);
+        # min-of-reps is the standard noise-floor estimator for wall-clock
+        reps = []
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            for i in range(iters_ab):
+                sc, ps, m = step_v(sc, ps, batches[i % n_cams], hyper, key)
+            # end timing on a forced device->host transfer, NOT
+            # block_until_ready: the axon relay has been observed returning
+            # from block_until_ready before the chained steps complete
+            # (sub-ms "measurements" of a 250 ms step); a host copy of an
+            # output cannot complete early. Finiteness doubles as a check
+            # that the candidate actually computed.
+            mse = float(np.asarray(m.mse))
+            if not np.isfinite(mse):
+                raise RuntimeError(f"non-finite mse {mse} in A/B candidate")
+            reps.append((time.perf_counter() - t0) / iters_ab)
         del sc, ps
-        if not np.isfinite(mse):
-            raise RuntimeError(f"non-finite mse {mse} in A/B candidate")
-        return dt
+        return min(reps)
 
     ab_table = []
 

@@ -199,3 +199,62 @@ def test_colmap_bin_native_parity(tmp_path):
         assert a.name == b.name
         np.testing.assert_allclose(a.qvec, b.qvec)
         np.testing.assert_allclose(a.tvec, b.tvec)
+
+
+def test_blender_fixture_roundtrip(synthetic, tmp_path):
+    """Synthetic cameras -> NeRF-synthetic transforms_{train,val}.json +
+    PNGs -> BlenderDataset reads back the same poses/intrinsics/splits
+    (BASELINE.md config 2's ingest path; the loaders previously had no
+    fixture test — VERDICT r2)."""
+    import cv2
+
+    from splat_trainer_tpu.data.blender import BlenderDataset
+
+    table = synthetic.camera_table
+    w, h = table.image_size
+    fx = float(np.asarray(table.cameras.intrinsics[0, 0]))
+    camera_angle_x = 2.0 * np.arctan(0.5 * w / fx)
+
+    gl = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    (tmp_path / "train").mkdir()
+
+    def frame(i):
+        w2c = np.asarray(table.cameras.camera_t_world[i])
+        c2w = np.linalg.inv(w2c) @ gl          # CV -> OpenGL convention
+        name = f"train/r_{i}"
+        img = synthetic.loader([i])[0].image
+        cv2.imwrite(str(tmp_path / f"{name}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        return {"file_path": name, "transform_matrix": c2w.tolist()}
+
+    n = table.num_images
+    n_train = n - 2
+    meta_tr = {"camera_angle_x": camera_angle_x,
+               "frames": [frame(i) for i in range(n_train)]}
+    meta_va = {"camera_angle_x": camera_angle_x,
+               "frames": [frame(i) for i in range(n_train, n)]}
+    (tmp_path / "transforms_train.json").write_text(json.dumps(meta_tr))
+    (tmp_path / "transforms_val.json").write_text(json.dumps(meta_va))
+
+    ds = BlenderDataset(str(tmp_path))
+    bt = ds.camera_table
+    assert bt.num_images == n
+    assert bt.image_size == (w, h)
+    assert len(ds.train()) == n_train and len(ds.val()) == 2
+
+    # poses survive the OpenGL round-trip exactly (up to inversion noise)
+    np.testing.assert_allclose(
+        np.asarray(bt.cameras.camera_t_world),
+        np.asarray(table.cameras.camera_t_world), atol=1e-4)
+    # fx reconstructed from camera_angle_x; principal point at the center
+    np.testing.assert_allclose(
+        np.asarray(bt.cameras.intrinsics[:, 0]), fx, rtol=1e-5)
+    # images decode as RGB uint8 at the declared size
+    img = ds.loader([0])[0].image
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+    np.testing.assert_array_equal(img, synthetic.loader([0])[0].image)
+
+    # image_scale resizes both the table and the decoded images
+    ds_half = BlenderDataset(str(tmp_path), image_scale=0.5)
+    assert ds_half.camera_table.image_size == (w // 2, h // 2)
+    assert ds_half.loader([0])[0].image.shape == (h // 2, w // 2, 3)
