@@ -219,6 +219,20 @@ class RasterConfig:
     # A/Bs this knob on-chip. Products of (1 - alpha) in (0, 1] are
     # numerically benign either way (no cancellation).
     cumprod_scan: bool = False
+    # quantize the BACKWARD kernel's MXU contraction inputs to bf16 (f32
+    # accumulation via preferred_element_type): the two (P, K) x (K, K)
+    # prefix-scan matmuls dominate the kernel's MXU FLOPs and an f32 matmul
+    # costs several bf16 passes on the MXU. Affects gradients only (the
+    # forward image is untouched); per-element ~0.4% relative quantization
+    # BEFORE the cross-pixel reduction — strictly milder than the
+    # per-instance grad_bf16_pack quantization already defaulted on.
+    # Gate: test_bwd_scan_bf16_parity + the pinned golden trajectory.
+    bwd_scan_bf16: bool = False
+    # same for the FORWARD transmittance scan (log1p(-alpha) lanes in bf16,
+    # f32 accumulation): touches the rendered image at ~0.4% of each
+    # instance's transmittance contribution, so this one needs an at-scale
+    # quality A/B before defaulting on (bench.py A/Bs it; golden-gated).
+    fwd_scan_bf16: bool = False
 
     def __post_init__(self):
         assert self.max_instances % self.chunk_size == 0, \

@@ -81,8 +81,20 @@ def _triu_strict(k: int):
 def _cumsum_excl(x, u_strict):
     """Exclusive prefix sum along lanes as ONE MXU matmul: a Hillis-Steele
     scan costs log2(K) VPU passes over (P, K); x @ triu is a (P,K)x(K,K)
-    contraction the MXU does in parallel with VPU work."""
-    return lax.dot_general(x, u_strict, (((1,), (0,)), ((), ())),
+    contraction the MXU does in parallel with VPU work. When `u_strict` is
+    bf16 the operand is quantized to match (f32 matmul costs several bf16
+    MXU passes; accumulation stays f32 via preferred_element_type)."""
+    return lax.dot_general(x.astype(u_strict.dtype), u_strict,
+                           (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _dot_f32acc(a, b, dims, bf16: bool):
+    """dot_general with optional bf16 input quantization, f32 accumulation."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return lax.dot_general(a, b, (dims, ((), ())),
                            preferred_element_type=jnp.float32)
 
 
@@ -239,6 +251,8 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     G = config.tiles_per_block
     b = pl.program_id(0)
     u_strict = _triu_strict(k)
+    if config.fwd_scan_bf16:
+        u_strict = u_strict.astype(jnp.bfloat16)  # exact: entries are 0/1
 
     def one_tile(g, t):
         # tile ranges are chunk-aligned (ops/tiling.py): every chunk slab
@@ -463,6 +477,9 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     Gt = config.tiles_per_block
     b = pl.program_id(0)
     u_strict = _triu_strict(k)
+    bf16 = config.bwd_scan_bf16
+    if bf16:
+        u_strict = u_strict.astype(jnp.bfloat16)  # exact: entries are 0/1
 
     def one_tile(bg, t):
         # chunk-aligned ranges: slabs exclusively owned, pure writes,
@@ -554,8 +571,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             w = alpha * T_excl                            # (P, K)
 
             col = data[6:9, :]                            # (3, K)
-            cg = lax.dot_general(g, col, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (P, K)
+            cg = _dot_f32acc(g, col, ((0,), (0,)), bf16)  # (P, K)
             wcg = w * cg
             # inclusive prefix on the MXU: exclusive + diagonal term
             prefix = S + _cumsum_excl(wcg, u_strict) + wcg
@@ -584,8 +600,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 # and d_opacity = m_1/op because dpow/op = d_al_u * expp on
                 # the unclamped support (alpha = op*expp there; both sides
                 # vanish elsewhere).
-                m = lax.dot_general(basis_t, dpow, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                m = _dot_f32acc(basis_t, dpow, ((1,), (0,)), bf16)
                 m1, mqx, mqy = m[0:1], m[1:2], m[2:3]
                 mqxx, mqxy, mqyy = m[3:4], m[4:5], m[5:6]
                 sdx = mqx - mxq * m1
@@ -600,8 +615,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 dcc = -0.5 * sdyy
                 dop = m1 / jnp.maximum(op, 1e-12)
                 # color gradient + prune heuristic share one contraction
-                gw = lax.dot_general(gp, w, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+                gw = _dot_f32acc(gp, w, ((1,), (0,)), bf16)
                 dcol = gw[0:3]                                       # (3, K)
                 prune = gw[3:4]
             else:
@@ -614,8 +628,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 dca = jnp.sum(-0.5 * dpow * dx * dx, axis=0, keepdims=True)
                 dcb = jnp.sum(-dpow * dx * dy, axis=0, keepdims=True)
                 dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=0, keepdims=True)
-                dcol = lax.dot_general(g, w, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+                dcol = _dot_f32acc(g, w, ((1,), (0,)), bf16)
                 prune = jnp.sum(w * gmag, axis=0, keepdims=True)
 
             # pack the gradient slab; the slab is exclusively ours, so this

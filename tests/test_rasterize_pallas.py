@@ -246,7 +246,10 @@ def test_saturation_compaction_parity():
 def test_saturation_compaction_truncates_and_bf16():
     """The sat stream must be SMALLER than the render stream on a
     saturating scene (the point of the feature), and compose with the
-    bf16-packed sort payloads, matching bf16-without-sat to ~1 ulp."""
+    bf16-packed sort payloads. bf16 packing skips the reduction's dd
+    compensation (renderer.py), so the two stream lengths group f32
+    partial sums differently — agreement is at bf16-noise scale
+    (~0.4% of an instance contribution), not ulp scale."""
     # near-opaque splats large enough to blanket whole tiles: every tile
     # saturates within a few chunks, so the consumed stream is a small
     # prefix of the thousands of rendered instances
@@ -268,7 +271,7 @@ def test_saturation_compaction_truncates_and_bf16():
     for a, b in zip(g0, g1):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-6)
-        np.testing.assert_allclose(b, a, rtol=3e-6, atol=3e-6 * scale)
+        np.testing.assert_allclose(b, a, atol=1e-3 * scale)
 
 
 def test_saturation_overflow_counted():
@@ -281,6 +284,41 @@ def test_saturation_overflow_counted():
     r = render_with("pallas", g, cam, sat)
     assert int(r.sat_demand) > 64
     assert int(r.clipped_instances) > 0
+
+
+def test_bwd_scan_bf16_parity():
+    """bwd_scan_bf16 quantizes the backward kernel's MXU contraction inputs
+    (prefix scans, cg, moments, color/prune) to bf16 with f32 accumulation.
+    The forward image must be bit-identical; gradients within bf16 band."""
+    g, cam, config = setup(n=120, seed=3, grad_bf16_pack=False)
+    r0 = render_with("pallas", g, cam, config)
+    r1 = render_with("pallas", g, cam, dict(config, bwd_scan_bf16=True))
+    np.testing.assert_array_equal(r0.image, r1.image)
+
+    g0 = loss_and_grads("pallas", g, cam, config)
+    g1 = loss_and_grads("pallas", g, cam, dict(config, bwd_scan_bf16=True))
+    names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
+    for name, a, b in zip(names, g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-2 * scale, err_msg=name)
+    # compose with the moments path too (the production combination)
+    g2 = loss_and_grads("pallas", g, cam,
+                        dict(config, bwd_scan_bf16=True, bwd_moments=True))
+    for name, a, b in zip(names, g0, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=2e-2 * scale, err_msg=name)
+
+
+def test_fwd_scan_bf16_parity():
+    """fwd_scan_bf16 quantizes the forward transmittance scan's log lanes
+    to bf16: the image must stay within ~0.5% of the f32 path."""
+    g, cam, config = setup(n=120, seed=3)
+    r0 = render_with("pallas", g, cam, config)
+    r1 = render_with("pallas", g, cam, dict(config, fwd_scan_bf16=True))
+    np.testing.assert_allclose(r1.image, r0.image, atol=6e-3)
+    np.testing.assert_allclose(r1.alpha, r0.alpha, atol=6e-3)
 
 
 def test_bwd_moments_parity():
