@@ -323,7 +323,7 @@ def main():
             _bin_cache[ts] = (bj, out)
         bj, out = _bin_cache[ts]
         demand = max(int(np.asarray(o[2].demand)) for o in out)
-        instances = max(int(np.asarray(o[2].valid.sum())) for o in out)
+        instances = max(int(np.asarray(o[2].total)) for o in out)
         m_b = ladder_fit(int(demand * 1.3), rcfg_v.max_instances)
         mr_b = min(ladder_fit(int(instances * 1.3), rcfg_v.max_instances),
                    m_b)
@@ -402,7 +402,8 @@ def main():
         try_measure(f"cumprod_scan={not rcfg.cumprod_scan}",
                     dataclasses.replace(rcfg,
                                         cumprod_scan=not rcfg.cumprod_scan))
-        ok = [r for r in ab_table if r[2] is not None]
+        ok = [r for r in ab_table
+                  if r[2] is not None and not r[0].startswith("info:")]
         if ok:
             best = min(ok, key=lambda r: r[2])
             # tile_size 32 on top of the best tiles_per_block: fewer
@@ -413,18 +414,35 @@ def main():
                         rcfg_base, tile_size=32))[0],
                     tiles_per_block=best[1].tiles_per_block)
                 try_measure(f"ts32, tpb{ts32.tiles_per_block}", ts32)
-            ok = [r for r in ab_table if r[2] is not None]
+            ok = [r for r in ab_table
+                  if r[2] is not None and not r[0].startswith("info:")]
             best = min(ok, key=lambda r: r[2])
             # re-toggle the kernel-strategy knobs at the winning binning
-            # config (their win/loss flips with occupancy per tile)
-            for knob in ("kernel_basis", "cumprod_scan", "bwd_moments"):
+            # config (their win/loss flips with occupancy per tile).
+            # bwd_scan_bf16 (gradient-only, strictly milder quantization
+            # than the default-on grad_bf16_pack) and grad_pack_in_kernel
+            # (bitwise-identical to the outside pack) are adoptable;
+            # fwd_scan_bf16 touches the rendered image and is measured
+            # info-only below, never adopted here.
+            for knob in ("kernel_basis", "cumprod_scan", "bwd_moments",
+                         "bwd_scan_bf16", "grad_pack_in_kernel"):
                 cur = getattr(best[1], knob)
+                if knob == "grad_pack_in_kernel" and not cur \
+                        and not best[1].grad_bf16_pack:
+                    continue  # requires grad_bf16_pack
                 cand = dataclasses.replace(best[1], **{knob: not cur})
                 if any(r[1] == cand for r in ab_table):
                     continue  # already measured this exact config
                 try_measure(f"{best[0]} + {knob}={not cur}", cand)
-                ok = [r for r in ab_table if r[2] is not None]
+                ok = [r for r in ab_table
+                  if r[2] is not None and not r[0].startswith("info:")]
                 best = min(ok, key=lambda r: r[2])
+            # info-only: forward-scan bf16 (quality-gated, never adopted)
+            try_measure("info: fwd_scan_bf16=True (not auto-adopted)",
+                        dataclasses.replace(best[1], fwd_scan_bf16=True))
+            ok = [r for r in ab_table
+                  if r[2] is not None and not r[0].startswith("info:")]
+            best = min(ok, key=lambda r: r[2])
             # saturation compaction (lossless: gradient slabs past the
             # forward's early exit are exactly zero — parity-tested) at a
             # demand-bucketed capacity probed on this scene
@@ -451,7 +469,8 @@ def main():
                 print(f"# sat probe: demand {sdem} -> capacity {msat}")
                 cand = dataclasses.replace(best[1], max_sat_instances=msat)
                 try_measure(f"{best[0]} + sat{msat}", cand)
-                ok = [r for r in ab_table if r[2] is not None]
+                ok = [r for r in ab_table
+                  if r[2] is not None and not r[0].startswith("info:")]
                 best = min(ok, key=lambda r: r[2])
             except Exception as e:
                 print(f"# sat probe FAILED ({type(e).__name__}: {e})"[:300])
@@ -465,7 +484,7 @@ def main():
     counts = np.asarray(inst.tile_counts)
     occ = {
         "visible_points": int(np.asarray(g2d.visible).sum()),
-        "instances": int(np.asarray(inst.valid).sum()),
+        "instances": int(np.asarray(inst.total)),
         "aabb_demand": int(np.asarray(inst.demand)),
         "clipped_instances": int(np.asarray(inst.clipped)),
         "tiles": int(counts.size),

@@ -121,7 +121,7 @@ def main():
                 g2d.mean, jnp.where(g2d.visible, g2d.radius, 0.0),
                 g2d.visible, ndc_depth(g2d.depth, cam.near_plane, cam.far_plane),
                 rcfg, grid, conic=g2d.conic, opacity=g2d.opacity)
-            return g2d.visible.sum(), inst.valid.sum(), inst.clipped
+            return g2d.visible.sum(), inst.total, inst.clipped
         occ_jit = jax.jit(occ)
         for i in range(4):
             nv, ni, nc = occ_jit(batches[i])

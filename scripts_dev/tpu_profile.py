@@ -47,26 +47,32 @@ def main():
         ndc = projection.ndc_depth(g2d.depth, cam.near_plane, cam.far_plane)
         packed = jnp.concatenate([
             g2d.mean, g2d.conic, g2d.opacity[:, None], g.feature, ndc[:, None],
-            jnp.zeros((n, 6), jnp.float32)], axis=1)[inst.gaussian_id].T
+            jnp.arange(n, dtype=jnp.float32)[:, None],
+            jnp.zeros((n, 5), jnp.float32)], axis=1)[inst.sorted_gid].T
         return packed
 
     packed = timeit("gather+pack", jax.jit(pack), g2d, inst)
 
     fwd = jax.jit(functools.partial(
         rasterize_pallas.rasterize_forward, grid=grid, image_size=image_size,
-        config=cfg))
-    tile_img, inst_vis = timeit("pallas fwd kernel", lambda s, c, p: fwd(s, c, p),
-                                inst.tile_starts, inst.tile_counts, packed)
+        config=cfg, n_points=n))
+    tile_img, vis_out = timeit(
+        "pallas fwd kernel", lambda s, c, o, p: fwd(s, c, o, p),
+        inst.tile_starts, inst.tile_counts, inst.out_starts, packed)
 
     ct = jnp.ones_like(tile_img[:, :4])
+    m_out = tiling.out_capacity(packed.shape[1], grid, cfg.chunk_size)
     bwd = jax.jit(functools.partial(
         rasterize_pallas.rasterize_backward, grid=grid, image_size=image_size,
-        config=cfg))
-    timeit("pallas bwd kernel", lambda s, cn, p, c, ti: bwd(s, cn, p, c, ti),
-           inst.tile_starts, inst.tile_counts, packed, ct, tile_img)
+        config=cfg, m_out=m_out, n_points=n))
+    timeit("pallas bwd kernel", lambda s, cn, o, p, c, ti: bwd(s, cn, o, p, c, ti),
+           inst.tile_starts, inst.tile_counts, inst.out_starts, packed, ct,
+           tile_img)
 
-    seg = jax.jit(lambda vis, gid: jax.ops.segment_sum(vis[0], gid, num_segments=n))
-    timeit("segment_sum vis", seg, inst_vis, inst.gaussian_id)
+    seg = jax.jit(lambda vis: jax.ops.segment_sum(
+        jnp.where(vis[1] < n, vis[0], 0.0),
+        jnp.minimum(vis[1].astype(jnp.int32), n - 1), num_segments=n))
+    timeit("segment_sum vis", seg, vis_out)
 
     # sub-pieces of expand
     def sort_only(key_like):

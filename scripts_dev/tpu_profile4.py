@@ -70,25 +70,31 @@ def main():
             ndc[gid]])
         return jnp.concatenate([rows, jnp.zeros((6, gid.shape[0]))], axis=0)
 
-    packed = timeit("pack 4M (stacked rows)", jax.jit(pack), g2d, inst.gaussian_id)
+    packed = timeit("pack 4M (stacked rows)", jax.jit(pack), g2d,
+                    inst.sorted_gid)
 
     fwd = jax.jit(functools.partial(
         rasterize_pallas.rasterize_forward, grid=grid, image_size=image_size,
-        config=cfg))
-    tile_img, inst_vis = timeit("pallas fwd kernel", fwd, inst.tile_starts, inst.tile_counts, packed)
+        config=cfg, n_points=n))
+    tile_img, vis_out = timeit("pallas fwd kernel", fwd, inst.tile_starts,
+                               inst.tile_counts, inst.out_starts, packed)
 
     timeit("tiles_to_image", jax.jit(functools.partial(
         rasterize_pallas.tiles_to_image, grid=grid, image_size=image_size)),
         tile_img[:, :5])
 
     ct = jnp.ones_like(tile_img[:, :4])
+    m_out = tiling.out_capacity(packed.shape[1], grid, cfg.chunk_size)
     bwd = jax.jit(functools.partial(
         rasterize_pallas.rasterize_backward, grid=grid, image_size=image_size,
-        config=cfg))
-    timeit("pallas bwd kernel", bwd, inst.tile_starts, inst.tile_counts, packed, ct, tile_img)
+        config=cfg, m_out=m_out, n_points=n))
+    timeit("pallas bwd kernel", bwd, inst.tile_starts, inst.tile_counts,
+           inst.out_starts, packed, ct, tile_img)
 
-    timeit("segment vis", jax.jit(lambda v, gid: jax.ops.segment_sum(
-        v[0], gid, num_segments=n)), inst_vis, inst.gaussian_id)
+    timeit("segment vis", jax.jit(lambda v: jax.ops.segment_sum(
+        jnp.where(v[1] < n, v[0], 0.0),
+        jnp.minimum(v[1].astype(jnp.int32), n - 1),
+        num_segments=n)), vis_out)
 
     # color model at 1M
     ccfg = cm.ColorModelConfig()

@@ -233,6 +233,14 @@ class RasterConfig:
     # instance's transmittance contribution, so this one needs an at-scale
     # quality A/B before defaulting on (bench.py A/Bs it; golden-gated).
     fwd_scan_bf16: bool = False
+    # perform grad_bf16_pack's pair-packing INSIDE the backward kernel
+    # (manual round-to-nearest-even on u32 bits — bit-identical to the
+    # outside astype(bf16) path): the gradient slab shrinks 16 -> 8 rows
+    # (half the grad write DMA + half the zero-init stream) and the
+    # outside pack passes before the gid sort disappear. Requires
+    # grad_bf16_pack; no quality effect beyond it (same quantization
+    # points, tested bitwise-equal).
+    grad_pack_in_kernel: bool = False
 
     def __post_init__(self):
         assert self.max_instances % self.chunk_size == 0, \
@@ -240,6 +248,8 @@ class RasterConfig:
         assert (self.max_sat_instances is None
                 or self.max_sat_instances % self.chunk_size == 0), \
             "max_sat_instances must be a multiple of chunk_size"
+        assert not (self.grad_pack_in_kernel and not self.grad_bf16_pack), \
+            "grad_pack_in_kernel requires grad_bf16_pack"
 
 
 @struct.dataclass

@@ -12,17 +12,18 @@ TPU-native replacement for taichi-splatting's CUDA tile rasterizer
 - Per-tile instance lists live in HBM as a **transposed (16, M) field
   matrix** (fields on sublanes, instances on lanes) so chunk DMA slices are
   lane-aligned (Mosaic requires 128-aligned slices on the minor dim).
-- The kernel walks each tile's range chunk-by-chunk with **double-buffered
-  async DMA** (chunk i+1 prefetched during chunk i's compute) and
-  early-exits via `lax.while_loop` once every pixel in the tile saturates.
-- Per-instance outputs (visibility in fwd; parameter gradients + prune
-  heuristic in bwd) are written chunk-by-chunk into zero-initialized
-  aliased buffers. Tile ranges are **chunk-aligned** by the binning stage
-  (ops/tiling.py pads each tile's start to a chunk boundary with inert
-  slots), so every chunk slab is exclusively owned by one tile: all writes
-  are pure double-buffered DMA and the grid executes tiles in
-  **parallel** (`dimension_semantics = parallel` — both megacore
-  TensorCores walk disjoint tile halves).
+- The kernel walks each tile's SORTED-space range through floor-aligned
+  chunk windows with **double-buffered async DMA** (chunk i+1 prefetched
+  during chunk i's compute), masking out-of-range lanes, and early-exits
+  via `lax.while_loop` once every pixel in the tile saturates (the forward
+  then key-drains the remaining windows — see _fwd_kernel).
+- Per-instance outputs (visibility + gid key in fwd; parameter gradients +
+  prune heuristic + gid key in bwd) are written chunk-by-chunk into each
+  tile's EXCLUSIVE run of a compacted chunk-aligned output stream
+  (ops/tiling.py out_starts / the renderer's consumed-prefix sat_starts),
+  initialized by aliasing: all writes are pure double-buffered DMA and the
+  grid executes tiles in **parallel** (`dimension_semantics = parallel` —
+  both megacore TensorCores walk disjoint tile halves).
 - Images are produced **tile-major** (num_tiles, 8, P): channels
   [r, g, b, T_final, median_ndc, unused...]. Conversion to (H, W, C) is a
   cheap XLA reshape outside the kernel (and outside the custom VJP, so the
@@ -52,16 +53,43 @@ from splat_trainer_tpu.ops.tiling import TileGrid
 INST_ROWS = 16
 # backward per-instance gradient matrix, (16, M) f32 — rows:
 # [0] d_mean_x [1] d_mean_y [2:5] d_conic [5] d_opacity [6:9] d_color
-# [9] prune_cost [10] gid sort key (saturation path only) [11:16] pad.
+# [9] prune_cost [10] gid sort key [11:16] pad.
+# With config.grad_pack_in_kernel the matrix is (8, M) instead: rows [0:5]
+# carry bf16 pair-packed values ([dmx|dmy], [dca|dcb], [dcc|dop],
+# [dcol_r|dcol_g], [dcol_b|prune]) as f32-bitcast u32, row [5] the key.
 # GRAD_ROWS must stay a multiple of 8 (Mosaic requires HBM slices 8-aligned
 # along the sublane dim); GRAD_USED marks the live rows — the backward
 # reduction sorts/gathers ONLY those (dead payload lanes cost real
 # milliseconds in the gid sort).
 GRAD_ROWS = 16
 GRAD_USED = 10
-# saturation path: the kernel emits the reduction's sort key itself —
-# gaussian_id for in-range slots, the number of gaussians (past every real
-# id) for padding — because the compacted stream has no precomputed
+GRAD_PACKED = 5
+
+
+def grad_rows(config: "RasterConfig") -> int:
+    return 8 if config.grad_pack_in_kernel else GRAD_ROWS
+
+
+def grad_key_row(config: "RasterConfig") -> int:
+    return 5 if config.grad_pack_in_kernel else GRAD_KEY_ROW
+
+
+def _rne_bf16_bits(x):
+    """bf16 round-to-nearest-even of f32 lanes, result in the HIGH 16 bits
+    (low 16 zero) — bit-identical to x.astype(bfloat16) for finite values,
+    using only 32-bit integer ops (Mosaic-friendly; no u16 vectors)."""
+    u = lax.bitcast_convert_type(x, jnp.uint32)
+    return (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+            ) & jnp.uint32(0xFFFF0000)
+
+
+def _pack_pair_inkernel(a, b):
+    """Two f32 lanes -> one f32-bitcast u32 lane of [bf16(a) | bf16(b)]."""
+    packed = _rne_bf16_bits(a) | (_rne_bf16_bits(b) >> 16)
+    return lax.bitcast_convert_type(packed, jnp.float32)
+# the kernels emit the reduction's sort key themselves — gaussian_id for
+# in-range slots, the number of gaussians (past every real id) for padding
+# — because the compacted output streams have no precomputed
 # gaussian_id/valid arrays (f32 exact: ids < 2^24)
 GRAD_KEY_ROW = 10
 IMG_ROWS = 8  # [r, g, b, T_final, median_ndc, pad, pad, pad]
@@ -83,18 +111,27 @@ def _cumsum_excl(x, u_strict):
     scan costs log2(K) VPU passes over (P, K); x @ triu is a (P,K)x(K,K)
     contraction the MXU does in parallel with VPU work. When `u_strict` is
     bf16 the operand is quantized to match (f32 matmul costs several bf16
-    MXU passes; accumulation stays f32 via preferred_element_type)."""
+    MXU passes; accumulation stays f32 via preferred_element_type).
+    bf16 operands need precision=DEFAULT explicitly: the package-level
+    jax_default_matmul_precision="highest" would stamp an fp32 contract
+    precision Mosaic rejects on bf16 inputs ("Bad lhs type")."""
+    prec = (lax.Precision.DEFAULT if u_strict.dtype == jnp.bfloat16
+            else None)
     return lax.dot_general(x.astype(u_strict.dtype), u_strict,
                            (((1,), (0,)), ((), ())),
+                           precision=prec,
                            preferred_element_type=jnp.float32)
 
 
 def _dot_f32acc(a, b, dims, bf16: bool):
-    """dot_general with optional bf16 input quantization, f32 accumulation."""
+    """dot_general with optional bf16 input quantization, f32 accumulation
+    (precision=DEFAULT on the bf16 path — see _cumsum_excl)."""
+    prec = None
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    return lax.dot_general(a, b, (dims, ((), ())),
+        prec = lax.Precision.DEFAULT
+    return lax.dot_general(a, b, (dims, ((), ())), precision=prec,
                            preferred_element_type=jnp.float32)
 
 
@@ -241,10 +278,10 @@ def _chunk_bounds(start, end, k: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
-                starts_ref, counts_ref, inst_ref, vis_zero_ref,
+def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
+                starts_ref, counts_ref, ostarts_ref, inst_ref, vis_zero_ref,
                 out_ref, vis_ref,
-                inst_buf, vis_buf, in_sem, vis_sem):
+                inst_buf, vis_buf, drain_buf, in_sem, vis_sem, drain_sem):
     del vis_zero_ref  # aliased to vis_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
@@ -253,14 +290,18 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     u_strict = _triu_strict(k)
     if config.fwd_scan_bf16:
         u_strict = u_strict.astype(jnp.bfloat16)  # exact: entries are 0/1
+    npf = jnp.float32(n_points)
 
     def one_tile(g, t):
-        # tile ranges are chunk-aligned (ops/tiling.py): every chunk slab
-        # is exclusively owned by this tile, so per-instance output writes
-        # are pure (no cross-tile read-merge) and the grid runs blocks of
-        # tiles in parallel.
+        # the instance stream is in SORTED order (ops/tiling.py): tile
+        # ranges are NOT chunk-aligned; we read floor-aligned chunk windows
+        # and mask out-of-range lanes (in_range below). Per-instance
+        # OUTPUTS (visibility + its gid key) land in this tile's exclusive
+        # chunk-aligned run of the compacted output stream, so the grid
+        # still runs blocks of tiles in parallel with pure DMA writes.
         start = starts_ref[t]
         end = start + counts_ref[t]
+        o0 = ostarts_ref[t] // k
         px, py, valid_px = _pixel_coords(t, grid, image_size)
         if config.kernel_basis:
             basis, bcx, bcy = _tile_basis(t, grid)
@@ -273,6 +314,14 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 inst_ref.at[:, pl.ds(off, k)], inst_buf.at[slot],
                 in_sem.at[slot])
 
+        def drain_copy(i, slot):
+            # key-only reads: the 8-aligned upper half of the field matrix
+            # (rows 8:16) contains the gaussian index (row 10)
+            off = (c0 + i) * k
+            return pltpu.make_async_copy(
+                inst_ref.at[8:16, pl.ds(off, k)], drain_buf.at[slot],
+                drain_sem.at[slot])
+
         @pl.when(nch > 0)
         def _():
             inst_copy(0, 0).start()
@@ -282,10 +331,15 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
 
         def vis_copy(i, slot):
-            off = (c0 + i) * k
+            off = (o0 + i) * k
             return pltpu.make_async_copy(
                 vis_buf.at[slot], vis_ref.at[:, pl.ds(off, k)],
                 vis_sem.at[slot])
+
+        def key_row_of(gid_row, off):
+            ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            in_range = (ids >= start) & (ids < end)
+            return jnp.where(in_range, gid_row, npf)
 
         def body(carry):
             i, T, rgb, med = carry
@@ -337,20 +391,21 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                     data[9:10, :], crossed, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)   # (1, P)
 
-            # per-instance visibility: pure double-buffered write (the slab
-            # is exclusively ours). Wait for this slot's previous write
-            # (i-2) before overwriting the buffer.
+            # per-instance visibility + its gid sort key (field row 10):
+            # pure double-buffered write into this tile's exclusive output
+            # run. Wait for this slot's previous write (i-2) first.
             @pl.when(i >= 2)
             def _():
                 vis_copy(i - 2, slot).wait()
 
             if config.kernel_basis:
                 # row sum on the MXU (the VPU is the bottleneck here)
-                vis_buf[slot] = lax.dot_general(
+                vis_buf[slot, 0:1] = lax.dot_general(
                     ones_p, w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             else:
-                vis_buf[slot] = jnp.sum(w, axis=0, keepdims=True)
+                vis_buf[slot, 0:1] = jnp.sum(w, axis=0, keepdims=True)
+            vis_buf[slot, 1:2] = key_row_of(data[10:11, :], off)
             vis_copy(i, slot).start()
 
             return i + 1, T_last, rgb, med
@@ -361,20 +416,50 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         i_end, T, rgb, med = lax.while_loop(
             cond, body, (jnp.int32(0), T0, rgb0, med0))
 
-        # drain the in-flight prefetch if the loop exited early, and the
-        # last two outstanding visibility writes — the scratch buffers and
-        # semaphores are reused by the next tile in this block
+        # discard the in-flight full prefetch if the loop exited early
         @pl.when(i_end < nch)
         def _():
             inst_copy(i_end, lax.rem(i_end, 2)).wait()
 
-        @pl.when(i_end >= 2)
+        # KEY DRAIN: chunks past the early-exit still own output slots, and
+        # the gid-sort reduction needs every survivor's key present exactly
+        # once (a missing key would shift its gaussian's whole segment).
+        # Stream only the 8-row upper half per chunk and emit (vis=0, key)
+        # — the visibility of an unconsumed instance is exactly 0, same as
+        # the old zero-initialized aligned stream.
+        @pl.when(i_end < nch)
         def _():
-            vis_copy(i_end - 2, lax.rem(i_end - 2, 2)).wait()
+            drain_copy(i_end, lax.rem(i_end, 2)).start()
 
-        @pl.when(i_end >= 1)
+        def drain_body(i):
+            slot = lax.rem(i, 2)
+            drain_copy(i, slot).wait()
+
+            @pl.when(i + 1 < nch)
+            def _():
+                drain_copy(i + 1, 1 - slot).start()
+
+            @pl.when(i >= 2)
+            def _():
+                vis_copy(i - 2, slot).wait()
+
+            vis_buf[slot, 0:1] = jnp.zeros((1, k), jnp.float32)
+            vis_buf[slot, 1:2] = key_row_of(drain_buf[slot][2:3, :],
+                                            (c0 + i) * k)
+            vis_copy(i, slot).start()
+            return i + 1
+
+        lax.while_loop(lambda i: i < nch, drain_body, i_end)
+
+        # wait the last two outstanding visibility writes — the scratch
+        # buffers and semaphores are reused by the next tile in this block
+        @pl.when(nch >= 2)
         def _():
-            vis_copy(i_end - 1, lax.rem(i_end - 1, 2)).wait()
+            vis_copy(nch - 2, lax.rem(nch - 2, 2)).wait()
+
+        @pl.when(nch >= 1)
+        def _():
+            vis_copy(nch - 1, lax.rem(nch - 1, 2)).wait()
 
         out_ref[g, 0:3, :] = rgb
         out_ref[g, 3:4, :] = T.reshape(1, p)
@@ -397,29 +482,38 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             pl.when(t < grid.num_tiles)(lambda g=g, t=t: one_tile(g, t))
 
 
-def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
-                      image_size, config: RasterConfig, interpret: bool = False):
+def rasterize_forward(tile_starts, tile_counts, out_starts, inst_data,
+                      grid: TileGrid, image_size, config: RasterConfig,
+                      n_points: int = 0, interpret: bool = False):
     """Run the forward kernel.
 
     Args:
-        tile_starts: (num_tiles + 1,) int32 chunk-aligned range starts.
-        tile_counts: (num_tiles,) int32 real instances per tile.
-        inst_data: (16, M) f32 packed sorted instance field matrix.
-    Returns (tile_img (num_tiles, 8, P), inst_vis (1, M)).
+        tile_starts: (num_tiles + 1,) int32 sorted-space range starts
+            (NOT chunk-aligned — the kernel masks out-of-range lanes).
+        tile_counts: (num_tiles,) int32 survivors per tile.
+        out_starts: (num_tiles + 1,) int32 chunk-aligned starts of each
+            tile's run in the compacted per-instance OUTPUT stream.
+        inst_data: (16, Mr) f32 packed sorted instance field matrix.
+        n_points: gaussian count — the past-every-gaussian padding key.
+    Returns (tile_img (num_tiles, 8, P), vis_out (2, m_out)) where vis_out
+    rows are [visibility, gid sort key] per output-stream slot (key =
+    n_points for padding slots, including never-written capacity tail).
     """
-    m = inst_data.shape[1]
+    from splat_trainer_tpu.ops.tiling import out_capacity
+    m_out = out_capacity(inst_data.shape[1], grid, config.chunk_size)
     p = grid.tile_size * grid.tile_size
     k = config.chunk_size
     G = config.tiles_per_block
     nb = -(-grid.num_tiles // G)
 
-    kernel = functools.partial(_fwd_kernel, grid, image_size, config)
+    kernel = functools.partial(_fwd_kernel, grid, image_size, config,
+                               n_points)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
-            pl.BlockSpec(memory_space=pltpu.ANY),   # vis zeros (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vis init (aliased)
         ],
         out_specs=[
             pl.BlockSpec((G, IMG_ROWS, p), lambda i, *_: (i, 0, 0),
@@ -428,29 +522,35 @@ def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, INST_ROWS, k), jnp.float32),
-            pltpu.VMEM((2, 1, k), jnp.float32),
+            pltpu.VMEM((2, 2, k), jnp.float32),
+            pltpu.VMEM((2, 8, k), jnp.float32),     # key-drain reads
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    vis_zero = jnp.zeros((1, m), jnp.float32)
-    tile_img, inst_vis = pl.pallas_call(
+    # never-written slots (capacity tail) must carry the past-every-gaussian
+    # padding key, not 0 (a zero key would alias gaussian 0 and shift every
+    # reduction segment)
+    vis_init = jnp.zeros((2, m_out), jnp.float32
+                         ).at[1].set(float(n_points))
+    tile_img, vis_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb * G, IMG_ROWS, p), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((2, m_out), jnp.float32),
         ],
-        input_output_aliases={3: 1},  # vis zeros (arg after scalar prefetch) -> vis out
+        input_output_aliases={4: 1},  # vis init (arg after scalar prefetch) -> vis out
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(tile_starts, tile_counts, inst_data, vis_zero)
+    )(tile_starts, tile_counts, out_starts, inst_data, vis_init)
     if nb * G != grid.num_tiles:
         tile_img = tile_img[:grid.num_tiles]
-    return tile_img, inst_vis
+    return tile_img, vis_out
 
 
 # ---------------------------------------------------------------------------
@@ -460,17 +560,13 @@ def rasterize_forward(tile_starts, tile_counts, inst_data, grid: TileGrid,
 
 def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 n_points, *refs):
-    # saturation path adds a scalar-prefetch operand (per-tile compacted
-    # write starts) between starts and counts, and writes gradient slabs at
-    # those compacted offsets while READING the original aligned stream
-    sat = config.max_sat_instances is not None
-    if sat:
-        (starts_ref, sat_starts_ref, counts_ref, inst_ref, ct_ref, img_ref,
-         grad_zero_ref, grad_ref, inst_buf, grad_buf, in_sem, grad_sem) = refs
-    else:
-        (starts_ref, counts_ref, inst_ref, ct_ref, img_ref,
-         grad_zero_ref, grad_ref, inst_buf, grad_buf, in_sem, grad_sem) = refs
-        sat_starts_ref = starts_ref
+    # the backward READS the sorted instance stream through floor-aligned
+    # chunk windows (masking out-of-range lanes) and WRITES gradient slabs
+    # into its tile's exclusive run of the compacted output stream
+    # (sat_starts) — counts arrive already truncated to the forward's
+    # consumed prefix (and the stream capacity)
+    (starts_ref, sat_starts_ref, counts_ref, inst_ref, ct_ref, img_ref,
+     grad_zero_ref, grad_ref, inst_buf, grad_buf, in_sem, grad_sem) = refs
     del grad_zero_ref  # aliased to grad_ref
     k = config.chunk_size
     p = grid.tile_size * grid.tile_size
@@ -504,7 +600,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 in_sem.at[slot])
 
         def grad_copy(i, slot):
-            off = ((c0_sat if sat else c0) + i) * k
+            off = (c0_sat + i) * k
             return pltpu.make_async_copy(
                 grad_buf.at[slot], grad_ref.at[:, pl.ds(off, k)],
                 grad_sem.at[slot])
@@ -529,14 +625,13 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
 
         def cond(carry):
             i, T, _S = carry
-            if sat:
-                # the compacted stream's layout REQUIRES one key row per
-                # consumed chunk (a skipped chunk would leave zero-keyed
-                # rows that misalign every reduction segment) — and counts
-                # are already truncated to the forward's early-exit point,
-                # so there is nothing left for the T-threshold to skip
-                return i < nch
-            return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
+            del T
+            # the compacted stream's layout REQUIRES one key row per
+            # consumed chunk (a skipped chunk would leave zero-keyed rows
+            # that misalign every reduction segment) — and counts are
+            # already truncated to the forward's early-exit point, so there
+            # is nothing left for a T-threshold early exit to skip
+            return i < nch
 
         def body(carry):
             i, T, S = carry
@@ -638,24 +733,33 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             def _():
                 grad_copy(i - 2, slot).wait()
 
-            grad_buf[slot, 0:1, :] = dmx
-            grad_buf[slot, 1:2, :] = dmy
-            grad_buf[slot, 2:3, :] = dca
-            grad_buf[slot, 3:4, :] = dcb
-            grad_buf[slot, 4:5, :] = dcc
-            grad_buf[slot, 5:6, :] = dop
-            grad_buf[slot, 6:9, :] = dcol
-            grad_buf[slot, 9:10, :] = prune
-            if sat:
-                # the gid sort key: gaussian id (packed row 10 of the
-                # instance matrix) for in-range slots, n_points for padding
-                ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
-                in_range = (ids >= start) & (ids < end)
-                grad_buf[slot, 10:11, :] = jnp.where(
-                    in_range, data[10:11, :], jnp.float32(n_points))
-                grad_buf[slot, 11:16, :] = jnp.zeros((5, k), jnp.float32)
+            # the gid sort key: gaussian id (packed row 10 of the
+            # instance matrix) for in-range slots, n_points for padding
+            ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            in_range = (ids >= start) & (ids < end)
+            key_row = jnp.where(in_range, data[10:11, :],
+                                jnp.float32(n_points))
+            if config.grad_pack_in_kernel:
+                grad_buf[slot, 0:1, :] = _pack_pair_inkernel(dmx, dmy)
+                grad_buf[slot, 1:2, :] = _pack_pair_inkernel(dca, dcb)
+                grad_buf[slot, 2:3, :] = _pack_pair_inkernel(dcc, dop)
+                grad_buf[slot, 3:4, :] = _pack_pair_inkernel(
+                    dcol[0:1, :], dcol[1:2, :])
+                grad_buf[slot, 4:5, :] = _pack_pair_inkernel(
+                    dcol[2:3, :], prune)
+                grad_buf[slot, 5:6, :] = key_row
+                grad_buf[slot, 6:8, :] = jnp.zeros((2, k), jnp.float32)
             else:
-                grad_buf[slot, 10:16, :] = jnp.zeros((6, k), jnp.float32)
+                grad_buf[slot, 0:1, :] = dmx
+                grad_buf[slot, 1:2, :] = dmy
+                grad_buf[slot, 2:3, :] = dca
+                grad_buf[slot, 3:4, :] = dcb
+                grad_buf[slot, 4:5, :] = dcc
+                grad_buf[slot, 5:6, :] = dop
+                grad_buf[slot, 6:9, :] = dcol
+                grad_buf[slot, 9:10, :] = prune
+                grad_buf[slot, 10:11, :] = key_row
+                grad_buf[slot, 11:16, :] = jnp.zeros((5, k), jnp.float32)
             grad_copy(i, slot).start()
 
             return i + 1, T_last, prefix[:, k - 1:k]
@@ -684,19 +788,21 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
             pl.when(t < grid.num_tiles)(lambda bg=bg, t=t: one_tile(bg, t))
 
 
-def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
-                       grid: TileGrid, image_size, config: RasterConfig,
-                       interpret: bool = False,
-                       sat_starts=None, n_points: int = 0):
-    """Run the backward kernel. Returns per-instance gradients (GRAD_ROWS, M).
+def rasterize_backward(tile_starts, tile_counts, sat_starts, inst_data,
+                       ct_tile, tile_img, grid: TileGrid, image_size,
+                       config: RasterConfig, m_out: int,
+                       n_points: int = 0, interpret: bool = False):
+    """Run the backward kernel.
 
-    With `config.max_sat_instances` set, `tile_counts` must be the
-    saturation-truncated per-tile counts and `sat_starts` the per-tile
-    chunk-aligned starts of the compacted output stream; the returned
-    gradient matrix is (GRAD_ROWS, max_sat_instances) with the gid sort key
+    Args:
+        tile_starts: (num_tiles + 1,) int32 sorted-space range starts.
+        tile_counts: (num_tiles,) int32 per-tile counts ALREADY truncated to
+            the forward's consumed prefix and the stream capacity.
+        sat_starts: (num_tiles + 1,) int32 chunk-aligned starts of each
+            tile's run in the compacted gradient output stream.
+        m_out: static capacity of that stream.
+    Returns per-instance gradients (GRAD_ROWS, m_out) with the gid sort key
     in row GRAD_KEY_ROW (n_points for padding slots)."""
-    sat = config.max_sat_instances is not None
-    m_out = config.max_sat_instances if sat else inst_data.shape[1]
     p = grid.tile_size * grid.tile_size
     k = config.chunk_size
     G = config.tiles_per_block
@@ -709,7 +815,7 @@ def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
     kernel = functools.partial(_bwd_kernel, grid, image_size, config,
                                n_points)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 if sat else 2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # inst_data
@@ -724,36 +830,28 @@ def rasterize_backward(tile_starts, tile_counts, inst_data, ct_tile, tile_img,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, INST_ROWS, k), jnp.float32),
-            pltpu.VMEM((2, GRAD_ROWS, k), jnp.float32),
+            pltpu.VMEM((2, grad_rows(config), k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    if sat:
-        # padding slots must carry the past-every-gaussian sort key, not 0
-        # (a zero key would alias gaussian 0 and shift every reduction
-        # segment)
-        grad_zero = jnp.zeros((GRAD_ROWS, m_out), jnp.float32
-                              ).at[GRAD_KEY_ROW].set(float(n_points))
-        operands = (tile_starts, sat_starts, tile_counts, inst_data,
-                    ct_tile, tile_img, grad_zero)
-        aliases = {6: 0}
-    else:
-        grad_zero = jnp.zeros((GRAD_ROWS, m_out), jnp.float32)
-        operands = (tile_starts, tile_counts, inst_data, ct_tile, tile_img,
-                    grad_zero)
-        aliases = {5: 0}
+    # padding slots must carry the past-every-gaussian sort key, not 0
+    # (a zero key would alias gaussian 0 and shift every reduction segment)
+    grad_zero = jnp.zeros((grad_rows(config), m_out), jnp.float32
+                          ).at[grad_key_row(config)].set(float(n_points))
     (inst_grad,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((GRAD_ROWS, m_out), jnp.float32)],
-        input_output_aliases=aliases,
+        out_shape=[jax.ShapeDtypeStruct((grad_rows(config), m_out),
+                                        jnp.float32)],
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(*operands)
+    )(tile_starts, sat_starts, tile_counts, inst_data, ct_tile, tile_img,
+      grad_zero)
     return inst_grad
 
 

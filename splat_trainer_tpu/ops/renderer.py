@@ -61,12 +61,6 @@ def heuristic_scale(image_size) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _compact_key(inst, n):
-    """gid sort key: gaussian_id for valid slots, n (past every real id)
-    for padding, so padding sorts past every segment end."""
-    return jnp.where(inst.valid, inst.gaussian_id, n)
-
-
 def _compact_by_key(lanes, key):
     """Sort per-slot value lanes by a gid key into compact order -> (M, C).
 
@@ -108,11 +102,33 @@ def _compact_by_key_bf16(lanes, key):
     return jnp.stack(cols[:len(lanes)], axis=-1)
 
 
+def _unpack_packed_rows(inst_grad_t):
+    """Kernel-packed (GRAD_PACKED, M) f32-bitcast u32 pair rows -> (M, 10)
+    f32 columns (RasterConfig.grad_pack_in_kernel)."""
+    cols = []
+    for i in range(rasterize_pallas.GRAD_PACKED):
+        u = lax.bitcast_convert_type(inst_grad_t[i], jnp.uint32)
+        a, b = _unpack_pair_bf16(u)
+        cols += [a, b]
+    return jnp.stack(cols, axis=-1)
+
+
+def _compact_packed(lanes, key):
+    """Sort kernel-packed pair payload lanes by gid key, then unpack:
+    the quantization already happened inside the backward kernel
+    (bit-identical to _pack_pair_bf16)."""
+    out = lax.sort((key,) + tuple(lanes), num_keys=1)
+    cols = []
+    for p in out[1:]:
+        a, b = _unpack_pair_bf16(lax.bitcast_convert_type(p, jnp.uint32))
+        cols += [a, b]
+    return jnp.stack(cols, axis=-1)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
                     interpret: bool):
     hscale = heuristic_scale(image_size)
-    sat = config.max_sat_instances is not None
 
     def forward_parts(mean, conic, opacity, color, depth_ndc, radius):
         visible = radius >= 1.0
@@ -124,96 +140,102 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         # transaction as a scalar) followed by a bandwidth-bound transpose —
         # per-field gathers are ~30x slower at 4M instances. Column 10 is
         # the gaussian index itself (an arange gathered by gid is gid):
-        # the saturation backward emits its sort key from it
-        # (rasterize_pallas.GRAD_KEY_ROW).
+        # both kernels emit their output streams' gid sort keys from it
+        # (rasterize_pallas.GRAD_KEY_ROW / vis_out row 1).
         packed = jnp.concatenate([
             mean, conic, opacity[:, None], color, depth_ndc[:, None],
             jnp.arange(n, dtype=jnp.float32)[:, None],
             jnp.zeros((n, rasterize_pallas.INST_ROWS - 11), jnp.float32),
-        ], axis=1)[inst.gaussian_id].T  # (16, M) field matrix
+        ], axis=1)[inst.sorted_gid].T  # (16, Mr) field matrix
 
-        tile_img, inst_vis = rasterize_pallas.rasterize_forward(
-            inst.tile_starts, inst.tile_counts, packed, grid, image_size,
-            config, interpret=interpret)
+        tile_img, vis_out = rasterize_pallas.rasterize_forward(
+            inst.tile_starts, inst.tile_counts, inst.out_starts, packed,
+            grid, image_size, config, n_points=n, interpret=interpret)
 
-        sat_bundle = None
-        if sat:
-            sat_bundle = _saturation_bundle(inst, tile_img)
+        bundle = _reduction_bundle(inst, tile_img, n)
+        vis_key = vis_out[1].astype(jnp.int32)
 
         if config.reduce == "segment":
             vis = jax.ops.segment_sum(
-                jnp.where(inst.valid, inst_vis[0], 0.0), inst.gaussian_id,
-                num_segments=n)
+                jnp.where(vis_key < n, vis_out[0], 0.0),
+                jnp.minimum(vis_key, n - 1), num_segments=n)
         else:
-            # sort aligned-slot values into compact (per-gaussian
+            # sort output-slot values into compact (per-gaussian
             # contiguous) order — the rank under a gid sort IS the compact
             # position (tiling.Instances docstring) — then prefix-diff over
             # the contiguous ranges; no scatter-add, no random row gathers
-            # (ops/segmented.py).
-            key = _compact_key(inst, n)
-            if sat:
-                # the kept flag rides the visibility compaction as one
-                # extra payload lane; its compact-order prefix remaps the
-                # per-gaussian reduction segments onto the saturation
-                # stream (each kept slot contributes exactly one row there)
-                cols = _compact_by_key((inst_vis[0],
-                                        sat_bundle["kept"].astype(jnp.float32)),
-                                       key)
-                vis_sorted = cols[:, :1]
-                kept_prefix = jnp.concatenate([
-                    jnp.zeros((1,), jnp.int32),
-                    jnp.cumsum(tiling._scan_guard(
-                        cols[:, 1].astype(jnp.int32)))])
-                sat_bundle["seg_start"] = kept_prefix.at[inst.seg_start].get(
-                    indices_are_sorted=True, mode="promise_in_bounds")
-                sat_bundle["seg_end"] = kept_prefix.at[inst.seg_end].get(
-                    indices_are_sorted=True, mode="promise_in_bounds")
-                del sat_bundle["kept"]
-            else:
-                vis_sorted = _compact_by_key((inst_vis[0],), key)
+            # (ops/segmented.py). The kept flag (slot has a gradient slot
+            # in the consumed-compacted backward stream) rides the same
+            # sort; its compact-order prefix remaps the per-gaussian
+            # reduction segments onto that stream.
+            key_s, vis_s, kept_s = lax.sort(
+                (vis_key, vis_out[0], bundle["kept"].astype(jnp.float32)),
+                num_keys=1)
+            del key_s
             vis = segment_sum_contiguous(
-                vis_sorted, inst.seg_start, inst.seg_end, abutting=True)[:, 0]
-        return tile_img, vis, inst, packed, sat_bundle
+                vis_s[:, None], inst.seg_start, inst.seg_end,
+                abutting=True)[:, 0]
+            kept_prefix = jnp.concatenate([
+                jnp.zeros((1,), jnp.int32),
+                jnp.cumsum(tiling._scan_guard(kept_s.astype(jnp.int32)))])
+            bundle["seg_start"] = kept_prefix.at[inst.seg_start].get(
+                indices_are_sorted=True, mode="promise_in_bounds")
+            bundle["seg_end"] = kept_prefix.at[inst.seg_end].get(
+                indices_are_sorted=True, mode="promise_in_bounds")
+        del bundle["kept"]
+        return tile_img, vis, inst, packed, bundle
 
-    def _saturation_bundle(inst, tile_img):
-        """Saturation-stream layout from the forward's consumed counts.
+    def _reduction_bundle(inst, tile_img, n):
+        """Backward-stream layout from the forward's consumed counts.
 
-        The forward kernel reports how many chunks each tile consumed
-        before every pixel saturated (image row 5); gradient slabs for
-        later instances are exactly zero (the backward's recursion reaches
-        the identical early-exit), so the backward streams only the
-        consumed prefix of each tile into `max_sat_instances` compacted
-        slots. Overflow drops those tiles' gradients and is COUNTED."""
+        The forward kernel reports how many chunk windows each tile
+        consumed before every pixel saturated (image row 5); gradient
+        slabs for later instances are exactly zero (the backward's
+        recursion reaches the identical early-exit), so the backward
+        streams only the consumed prefix of each tile into a compacted
+        stream of capacity `max_sat_instances` (defaults to the full
+        output capacity = never clips). Overflow beyond an explicit
+        capacity drops those tiles' gradients and is COUNTED."""
         k = config.chunk_size
-        m_sat = config.max_sat_instances
+        m_sat = config.max_sat_instances or tiling.out_capacity(
+            inst.sorted_gid.shape[0], grid, k)
         used = tile_img[:, 5, 0].astype(jnp.int32)          # (T,) chunks
-        consumed = jnp.minimum(inst.tile_counts, used * k)  # (T,) instances
+        starts = inst.tile_starts[:-1]
+        c0 = starts // k
+        head = starts - c0 * k
+        # instances inside consumed windows (window 0 may start mid-chunk)
+        consumed = jnp.clip(used * k - head, 0, inst.tile_counts)
         sat_unc = k * jnp.concatenate([
             jnp.zeros((1,), jnp.int32),
             jnp.cumsum(tiling._scan_guard(used))])          # (T+1,)
         sat_demand = sat_unc[-1]
         sat_starts = jnp.minimum(sat_unc, m_sat)
         avail = sat_starts[1:] - sat_starts[:-1]
-        counts_sat = jnp.minimum(consumed, avail)
-        sat_clipped = jnp.sum(consumed) - jnp.sum(counts_sat)
+        counts_bwd = jnp.minimum(consumed, avail)
+        sat_clipped = jnp.sum(consumed) - jnp.sum(counts_bwd)
 
-        # kept flag per aligned slot: valid AND within the consumed (and
-        # capacity-capped) prefix of its tile run — chunk-granularity
-        # scans + tiny (T,)-table gathers, no (Ma,)-sized random access
-        ma = inst.valid.shape[0]
-        c = ma // k
-        t_c = jnp.minimum(inst.tile_id.reshape(c, k)[:, 0],
-                          grid.num_tiles - 1)               # (C,)
-        start_c = inst.tile_starts.at[t_c].get(
-            mode="promise_in_bounds")                       # (C,)
-        local = jnp.arange(c, dtype=jnp.int32) * k - start_c
+        # kept flag per forward OUTPUT slot: its sorted-stream index lies
+        # in this tile's gradient range [start, start + counts_bwd) —
+        # chunk-granularity scans + tiny (T,)-table gathers only
+        m_out = tiling.out_capacity(inst.sorted_gid.shape[0], grid, k)
+        C = m_out // k
+        o0 = inst.out_starts[:-1] // k                      # (T,)
+        cmark = jnp.where(inst.tile_counts > 0, o0, C)
+        t_c = jax.lax.cummax(tiling._scan_guard(
+            jnp.zeros((C,), jnp.int32).at[cmark].max(
+                jnp.arange(grid.num_tiles, dtype=jnp.int32), mode="drop")))
+        # source base of output chunk c: input window index is c - o0[t]
+        base_c = (c0.at[t_c].get(mode="promise_in_bounds")
+                  + jnp.arange(C, dtype=jnp.int32)
+                  - o0.at[t_c].get(mode="promise_in_bounds")) * k   # (C,)
+        lo_c = starts.at[t_c].get(mode="promise_in_bounds")
+        hi_c = lo_c + counts_bwd.at[t_c].get(mode="promise_in_bounds")
         lane = jnp.arange(k, dtype=jnp.int32)
-        lim_c = counts_sat.at[t_c].get(mode="promise_in_bounds")
-        kept2d = (local[:, None] + lane[None, :]) < lim_c[:, None]
-        kept = inst.valid & kept2d.reshape(ma)
-        return dict(sat_starts=sat_starts, counts_sat=counts_sat,
+        g_idx = base_c[:, None] + lane[None, :]             # (C, k)
+        kept2d = (g_idx >= lo_c[:, None]) & (g_idx < hi_c[:, None])
+        return dict(sat_starts=sat_starts, counts_bwd=counts_bwd,
                     sat_demand=sat_demand, sat_clipped=sat_clipped,
-                    kept=kept)
+                    m_sat=m_sat, kept=kept2d.reshape(m_out))
 
     def assemble(tile_img, vis, inst, sat_bundle):
         planes = rasterize_pallas.tiles_to_image(tile_img[:, :5], grid, image_size)
@@ -222,9 +244,8 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         median_ndc = jnp.where(alpha >= 0.5, planes[..., 4], 1.0)
         clipped = inst.clipped
         sat_demand = jnp.int32(0)
-        if sat_bundle is not None:
-            clipped = clipped + sat_bundle["sat_clipped"]
-            sat_demand = sat_bundle["sat_demand"]
+        clipped = clipped + sat_bundle["sat_clipped"]
+        sat_demand = sat_bundle["sat_demand"]
         return RasterOut(image, alpha, median_ndc, vis, clipped,
                          inst.total, inst.demand, sat_demand)
 
@@ -251,42 +272,42 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
         ct_T = rasterize_pallas.image_to_tiles(-ct.alpha[..., None], grid)  # (T,1,P)
         ct_tile = jnp.concatenate([ct_rgb, ct_T], axis=1)
 
-        if sat:
-            inst_grad_t = rasterize_pallas.rasterize_backward(
-                inst.tile_starts, sat_bundle["counts_sat"], packed, ct_tile,
-                tile_img, grid, image_size, config, interpret=interpret,
-                sat_starts=sat_bundle["sat_starts"],
-                n_points=n)  # (16, Msat)
-        else:
-            inst_grad_t = rasterize_pallas.rasterize_backward(
-                inst.tile_starts, inst.tile_counts, packed, ct_tile,
-                tile_img, grid, image_size, config,
-                interpret=interpret)  # (16, Ma)
+        inst_grad_t = rasterize_pallas.rasterize_backward(
+            inst.tile_starts, sat_bundle["counts_bwd"],
+            sat_bundle["sat_starts"], packed, ct_tile, tile_img, grid,
+            image_size, config, m_out=sat_bundle["m_sat"], n_points=n,
+            interpret=interpret)  # (16, m_sat)
+        key = inst_grad_t[rasterize_pallas.grad_key_row(config)
+                          ].astype(jnp.int32)
         if config.reduce == "segment":
-            inst_grad = jnp.where(inst.valid[:, None], inst_grad_t.T, 0.0)
-            seg = jax.ops.segment_sum(inst_grad, inst.gaussian_id,
+            if config.grad_pack_in_kernel:
+                grad_cols = _unpack_packed_rows(inst_grad_t)
+            else:
+                grad_cols = inst_grad_t.T
+            inst_grad = jnp.where((key < n)[:, None], grad_cols, 0.0)
+            seg = jax.ops.segment_sum(inst_grad, jnp.minimum(key, n - 1),
                                       num_segments=n)
         else:
-            # (Ma, 16)-row reorder gathers cost ~25 ns/row (each row drags
+            # (M, 16)-row reorder gathers cost ~25 ns/row (each row drags
             # a full (8,128) HBM tile); payload lanes in one gid-keyed sort
             # move the same data ~2x cheaper and land directly in compact
             # order (rank == compact position, tiling.Instances docstring).
-            # On the saturation path the kernel emitted the key itself and
-            # the whole sort runs at the (much smaller) sat capacity.
-            if sat:
-                key = inst_grad_t[rasterize_pallas.GRAD_KEY_ROW
-                                  ].astype(jnp.int32)
-                seg_start = sat_bundle["seg_start"]
-                seg_end = sat_bundle["seg_end"]
+            # The kernel emitted the key itself and the whole sort runs at
+            # the consumed-compacted capacity.
+            seg_start = sat_bundle["seg_start"]
+            seg_end = sat_bundle["seg_end"]
+            if config.grad_pack_in_kernel:
+                grad_sorted = _compact_packed(
+                    tuple(inst_grad_t[i]
+                          for i in range(rasterize_pallas.GRAD_PACKED)),
+                    key)
             else:
-                key = _compact_key(inst, n)
-                seg_start, seg_end = inst.seg_start, inst.seg_end
-            compact = (_compact_by_key_bf16 if config.grad_bf16_pack
-                       else _compact_by_key)
-            grad_sorted = compact(
-                tuple(inst_grad_t[i]
-                      for i in range(rasterize_pallas.GRAD_USED)),
-                key)
+                compact = (_compact_by_key_bf16 if config.grad_bf16_pack
+                           else _compact_by_key)
+                grad_sorted = compact(
+                    tuple(inst_grad_t[i]
+                          for i in range(rasterize_pallas.GRAD_USED)),
+                    key)
             # bf16-packed lanes are already quantized at ~0.4% per
             # instance; the in-block f32 prefix rounding (<= eps * 512
             # rows) is noise next to it, and dropping the compensation
@@ -384,11 +405,6 @@ def render_projected(
     radius_masked = jnp.where(g2d.visible, g2d.radius, 0.0)
 
     if backend == "pallas":
-        if config.max_sat_instances is not None and config.reduce == "segment":
-            raise ValueError(
-                "max_sat_instances (saturation compaction) requires the "
-                "gather reduction — the segment_sum path reduces over the "
-                "full aligned stream")
         interpret = jax.default_backend() == "cpu"
         if not interpret and config.chunk_size % 128 != 0:
             # Mosaic requires HBM slices along the lane dimension to be

@@ -72,42 +72,59 @@ def _scan_guard(x: jax.Array) -> jax.Array:
 
 
 class Instances(NamedTuple):
-    """Sorted (gaussian, tile) instance pairs, aligned-capacity-shaped (Ma,).
+    """Depth-sorted (tile, depth)-keyed survivor stream, capacity Mr.
 
-    The layout is **chunk-aligned**: every tile's range begins at a multiple
-    of `RasterConfig.chunk_size`, with inert padding slots (valid=False)
-    between tiles. Rasterizer chunks are therefore exclusively owned by one
-    tile — per-instance output slabs never overlap across tiles, so the
-    Pallas grid can execute tiles in parallel (megacore) with pure DMA
-    writes and no boundary read-merge.
+    The stream stays in **sorted order** — per-tile ranges
+    [tile_starts[t], tile_starts[t] + tile_counts[t]) index it directly
+    and are NOT chunk-aligned. The compositing kernels read each range
+    through floor-aligned chunk windows and mask out-of-range lanes with
+    the same `in_range` predicate they always applied per pixel, so the
+    *input* stream needs no physical alignment at all. Alignment only
+    matters for per-instance OUTPUT slabs (visibility in fwd, gradients
+    in bwd), which land in their own compacted chunk-aligned layout:
+    tile t's output run starts at `out_starts[t]`, and its i-th output
+    chunk corresponds to sorted positions
+    [k*(start//k + i), k*(start//k + i + 1)). Two adjacent tiles may read
+    a shared straddled input window; each masks the other's lanes, so
+    every survivor owns exactly ONE live output slot across the stream.
 
-    Ma = Mr + num_tiles * chunk_size covers the worst-case alignment padding
-    (< chunk_size wasted per nonempty tile), so every cull survivor is
-    GUARANTEED an aligned slot. That guarantee is what lets the backward
-    recover the compact (per-gaussian-contiguous) order with a single
-    payload sort keyed on gaussian_id: the rank of each valid slot under a
-    gid sort equals its compact position exactly (both orders enumerate the
-    same survivor set grouped by gaussian, tile-ascending within a
-    gaussian), so `seg_start`/`seg_end` below index the sorted stream
-    directly. Random (Ma, k)-row gathers/scatters cost ~25 ns/row on TPU
-    (each row read drags a full (8,128) tile); sort payload lanes move the
-    same data at ~0.8 ns/element — the sort IS the cheap permutation
-    primitive on this hardware."""
+    The kernels emit each output slot's gaussian id as a key row (the id
+    is already streamed to them as packed field row 10), which is what
+    lets the per-gaussian reductions sort output slabs into compact
+    (per-gaussian-contiguous) order with NO slot->gaussian gather: the
+    rank of a live slot under a gid-keyed sort equals its compact
+    position exactly (both orders enumerate the same survivor set grouped
+    by gaussian), so `seg_start`/`seg_end` below index the sorted output
+    stream directly. Random (M, k)-row gathers cost ~25 ns/row on TPU
+    (each row read drags a full (8,128) tile) and even a monotonic (M,)
+    element realign gather measured ~9 ms at 2.7M; sort payload lanes
+    move the same data at ~0.8 ns/element — the sort IS the cheap
+    permutation primitive on this hardware, and the kernel-emitted key
+    removes the last slot->gaussian mapping the old aligned layout
+    needed."""
 
-    gaussian_id: jax.Array   # (Ma,) int32 — gaussian index per aligned slot
-    tile_id: jax.Array       # (Ma,) int32 — tile index per aligned slot
-    valid: jax.Array         # (Ma,) bool
-    tile_starts: jax.Array   # (num_tiles + 1,) int32 — chunk-aligned range starts
-    tile_counts: jax.Array   # (num_tiles,) int32 — real instances per tile
-    total: jax.Array         # scalar int32 — number of valid instances (clipped)
+    sorted_gid: jax.Array    # (Mr,) int32 — gaussian index per sorted slot
+    tile_starts: jax.Array   # (num_tiles + 1,) int32 — sorted-space starts
+    tile_counts: jax.Array   # (num_tiles,) int32 — survivors per tile
+    out_starts: jax.Array    # (num_tiles + 1,) int32 — chunk-aligned starts
+    #                          of each tile's per-instance OUTPUT run
+    #                          (capacity out_capacity(Mr, grid, k))
+    total: jax.Array         # scalar int32 — number of survivors
     clipped: jax.Array       # scalar int32 — overflow count (0 if none)
     demand: jax.Array        # scalar int32 — AABB expansion demand (uncapped;
     #                          drives the trainer's capacity bucketing)
-    # scatter-free reduction support (ops/segmented.py): sorting the aligned
-    # stream by gaussian_id reproduces the compact pre-sort order, whose
-    # per-gaussian ranges are contiguous:
+    # scatter-free reduction support (ops/segmented.py):
     seg_start: jax.Array     # (N,) int32 — gaussian's compact range start
     seg_end: jax.Array       # (N,) int32 — gaussian's compact range end
+
+
+def out_capacity(max_render_instances: int, grid: TileGrid,
+                 chunk_size: int) -> int:
+    """Static capacity of the per-instance OUTPUT stream: each nonempty
+    tile's run covers ceil((end - k*floor(start/k)) / k) chunks, at most
+    count + 2*(k-1) slots (head misalignment + tail padding), so the total
+    is bounded by Mr + 2*T*k and no survivor can ever lose its slot."""
+    return max_render_instances + 2 * grid.num_tiles * chunk_size
 
 
 def tile_rects(mean: jax.Array, radius: jax.Array, visible: jax.Array,
@@ -310,88 +327,32 @@ def expand_and_sort(
     # the sort are far cheaper.
     sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
 
-    # per-tile instance ranges via boundary search (tiny: T+1 queries)
+    # per-tile instance ranges via boundary search (tiny: T+1 queries).
+    # Survivors beyond Mr were re-keyed invalid above, so every boundary
+    # lands at or before n_pass <= Mr and the Mr-slice below loses nothing.
     boundaries = (jnp.arange(grid.num_tiles + 1, dtype=jnp.uint32) << db)
     tile_starts = jnp.searchsorted(sorted_key, boundaries,
                                    side="left").astype(jnp.int32)
 
-    # --- chunk-align into the ALIGNED capacity Ma --------------------------
-    # Re-place each tile's run at a chunk_size-aligned start. Ma budgets the
-    # worst-case padding (< chunk_size per nonempty tile) ON TOP of the
-    # compact capacity Mr, so alignment can never drop a cull survivor —
-    # the invariant the backward's gid-sort reduction relies on (see
-    # Instances docstring). Both capacities are chunk multiples so output
-    # slabs stay in-bounds.
-    #
-    # GATHER-FREE: every per-instance quantity below comes from scans
-    # (cummax/cumsum, ~3 ms at 2^23) instead of (M,)-sized table gathers
-    # (~70 ms each at 2^23, measured): aligned position = own index plus the
-    # accumulated padding of all previous tile runs.
+    # --- sorted-direct stream + compacted OUTPUT layout --------------------
+    # The instance stream keeps its sorted order (capacity Mr; NO aligned
+    # re-placement, NO slot->gaussian realign gather — see the Instances
+    # docstring). The kernels read each tile's range through floor-aligned
+    # chunk windows; only their per-instance OUTPUTS get a chunk-aligned
+    # compacted layout, whose per-tile starts are a (T,)-sized cumsum.
     k = config.chunk_size
     if M % k != 0 or Mr % k != 0:
         raise ValueError(f"max_instances ({M}) and max_render_instances "
                          f"({Mr}) must be multiples of chunk_size ({k})")
-    Ma = Mr + grid.num_tiles * k
     counts = tile_starts[1:] - tile_starts[:-1]                  # (T,)
-    aligned_starts = jnp.minimum(
-        jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                         jnp.cumsum(_scan_guard(-(-counts // k) * k),
-                                    dtype=jnp.int32)]),
-        Ma)                                                      # (T+1,) K-aligned
-    aligned_counts = jnp.minimum(aligned_starts[:-1] + counts, Ma
-                                 ) - aligned_starts[:-1]         # (T,)
+    c0 = tile_starts[:-1] // k                # first (floor) input chunk
+    nch = jnp.where(counts > 0,
+                    (tile_starts[1:] - c0 * k + k - 1) // k, 0)  # (T,) windows
+    out_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(_scan_guard(nch * k), dtype=jnp.int32)])     # (T+1,)
 
-    # kept = real instances that land inside Ma — aligned_counts already
-    # clips each run at the capacity, so no per-instance padding scan is
-    # needed (the aligned position of instance j of run t is
-    # aligned_starts[t] + j by construction).
-    kept = jnp.sum(aligned_counts).astype(jnp.int32)
-
-    # CHUNK-GRANULARITY alignment bookkeeping: every aligned chunk is owned
-    # by exactly one tile run and reads ONE contiguous k-window of the
-    # sorted stream, so validity/tile/source maps all live at C = Ma/k
-    # elements (20k instead of 2.7M) — the former (Ma,)-sized cummax fills
-    # and the (Ma,) monotonic gather (~19 ms at 2.7M, measured) collapse
-    # into (C,) scans plus one (C, k) block gather that XLA lowers to a
-    # per-ROW gather of contiguous 128-lane windows.
-    astart = aligned_starts[:-1]
-    nonempty = aligned_counts > 0
-    C = Ma // k
-    cstart = astart // k                              # (T,) first chunk of run
-    cmark = jnp.where(nonempty, cstart, C)
-    tile_of_chunk = jax.lax.cummax(_scan_guard(
-        jnp.zeros((C,), jnp.int32).at[cmark].max(
-            jnp.arange(grid.num_tiles, dtype=jnp.int32), mode="drop")))
-    # per-chunk run parameters: (C,) gathers from tiny (T,) tables
-    run_astart = astart[tile_of_chunk]
-    run_count = aligned_counts[tile_of_chunk]
-    run_src = tile_starts[:-1][tile_of_chunk]         # run's sorted-stream start
-    local = jnp.arange(C, dtype=jnp.int32) * k - run_astart  # >= 0 by cummax
-    nvalid = jnp.clip(run_count - local, 0, k)        # valid lanes per chunk
-    lane = jnp.arange(k, dtype=jnp.int32)
-    valid2d = lane[None, :] < nvalid[:, None]         # (C, k)
-    valid_p = valid2d.reshape(Ma)
-    tile2d = jnp.broadcast_to(tile_of_chunk[:, None], (C, k))
-    tile_id = jnp.where(valid_p, tile2d.reshape(Ma), grid.num_tiles)
-
-    # gaussian ids via ONE monotonic (Ma,) gather from the sorted stream:
-    # chunk c's lane j reads sorted_gid[run_src + local + j]. Padding lanes
-    # (j >= nvalid) clamp to the run's LAST valid source so the index
-    # stream stays globally non-decreasing (runs abut in both spaces;
-    # every in-run chunk has nvalid >= 1). A (C, k) block gather would be
-    # cheaper still, but XLA's gather expander rewrites 1D windowed
-    # gathers into a per-chunk while loop (measured 98 ms) — the element
-    # gather is the fastest primitive actually available.
-    j_eff = jnp.minimum(lane[None, :], jnp.maximum(nvalid - 1, 0)[:, None])
-    src = jnp.minimum((run_src + local)[:, None] + j_eff, M - 1).reshape(Ma)
-    gaussian_id = sorted_gid.at[src].get(indices_are_sorted=True,
-                                         mode="promise_in_bounds")
-    # padding/invalid slots hold an arbitrary in-bounds id; every consumer
-    # masks them via `valid` (kernel in_range test, gid-sort key, segment
-    # value mask)
-    gaussian_id = jnp.where(valid_p, gaussian_id, 0)
-
-    # per-gaussian [start, end) in compacted space: exclusive pass-prefix
+    # per-gaussian [start, end) in compact space: exclusive pass-prefix
     # evaluated at the gaussian's pre-sort segment bounds. Contiguity is
     # exact: seg_end[g] == seg_start[g+1] (offsets is a cumsum).
     pass_excl = jnp.concatenate(
@@ -402,13 +363,12 @@ def expand_and_sort(
         indices_are_sorted=True, mode="promise_in_bounds"), Mr)
 
     return Instances(
-        gaussian_id=gaussian_id,
-        tile_id=tile_id,
-        valid=valid_p,
-        tile_starts=aligned_starts,
-        tile_counts=aligned_counts,
-        total=kept,
-        clipped=clipped + (n_pass_raw - kept),
+        sorted_gid=sorted_gid[:Mr],
+        tile_starts=tile_starts,
+        tile_counts=counts,
+        out_starts=out_starts,
+        total=n_pass,
+        clipped=clipped + (n_pass_raw - n_pass),
         demand=total_raw.astype(jnp.int32),
         seg_start=seg_start,
         seg_end=seg_end,

@@ -89,6 +89,15 @@ class TrainConfig:
     bwd_moments: bool = True
     # tiles composited per Pallas grid step (RasterConfig.tiles_per_block)
     tiles_per_block: int = 8
+    # bf16 inputs to the backward kernel's MXU contractions
+    # (RasterConfig.bwd_scan_bf16; gradient-only — golden-gated + garden A/B)
+    bwd_scan_bf16: bool = False
+    # bf16 inputs to the forward transmittance scan (RasterConfig.
+    # fwd_scan_bf16; touches the rendered image — garden A/B before enabling)
+    fwd_scan_bf16: bool = False
+    # pair-pack backward gradients inside the kernel (RasterConfig.
+    # grad_pack_in_kernel; bitwise-identical to grad_bf16_pack's result)
+    grad_pack_in_kernel: bool = False
     # re-jit the step at the smallest capacity ladder size fitting measured
     # instance demand (max_instances stays the ceiling). Binning/sort/
     # reduction costs scale with the STATIC sizes, so this is a large
@@ -134,6 +143,10 @@ class TrainConfig:
             kernel_basis=self.kernel_basis,
             bwd_moments=self.bwd_moments,
             tiles_per_block=self.tiles_per_block,
+            bwd_scan_bf16=self.bwd_scan_bf16,
+            fwd_scan_bf16=self.fwd_scan_bf16,
+            grad_pack_in_kernel=(self.grad_pack_in_kernel
+                                 and self.grad_bf16_pack),
             render_median_depth=render_median_depth,
         )
 

@@ -286,6 +286,30 @@ def test_saturation_overflow_counted():
     assert int(r.clipped_instances) > 0
 
 
+def test_grad_pack_in_kernel_bitwise():
+    """grad_pack_in_kernel moves the bf16 pair-packing inside the backward
+    kernel (manual RNE on u32 bits) — it must be BITWISE identical to the
+    outside astype(bf16) packing path."""
+    g, cam, config = setup(n=150, seed=3, grad_bf16_pack=True)
+    g_out = loss_and_grads("pallas", g, cam, config)
+    g_in = loss_and_grads("pallas", g, cam,
+                          dict(config, grad_pack_in_kernel=True))
+    names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
+    for name, a, b in zip(names, g_out, g_in):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    # and with saturation compaction engaged
+    gs = g.replace(alpha_logit=g.alpha_logit + 4.0)
+    sat = dict(config, max_instances=2048, max_render_instances=1024,
+               max_sat_instances=1024)
+    g_out = loss_and_grads("pallas", gs, cam, sat)
+    g_in = loss_and_grads("pallas", gs, cam,
+                          dict(sat, grad_pack_in_kernel=True))
+    for name, a, b in zip(names, g_out, g_in):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_bwd_scan_bf16_parity():
     """bwd_scan_bf16 quantizes the backward kernel's MXU contraction inputs
     (prefix scans, cg, moments, color/prune) to bf16 with f32 accumulation.

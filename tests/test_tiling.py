@@ -27,30 +27,32 @@ def test_expand_and_sort_basic():
     inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
     # gaussian 0: x,y in [14, 34] -> tiles [0,3) x [0,3) = 9 instances;
     # gaussian 1: single tile (2, 0)
-    assert int(inst.total) == 10
+    total = int(inst.total)
+    assert total == 10
     assert int(inst.clipped) == 0
 
-    valid = np.asarray(inst.valid)
-    gids = np.asarray(inst.gaussian_id)[valid]
-    tiles = np.asarray(inst.tile_id)[valid]
+    gids = np.asarray(inst.sorted_gid)[:total]
     assert (np.sort(gids) == np.array([0] * 9 + [1])).all()
-    # gaussian 1 is at pixel (40, 8) -> tile (2, 0) -> id 2
-    assert tiles[gids == 1][0] == 2
-    # tiles grouped ascending
-    assert (np.diff(tiles) >= 0).all()
 
-    # tile ranges: chunk-aligned starts, each range contains only that tile
+    # per-tile sorted-space ranges partition [0, total) and each contains
+    # the right gaussians
     starts = np.asarray(inst.tile_starts)
     counts = np.asarray(inst.tile_counts)
-    tile_full = np.asarray(inst.tile_id)
-    valid_full = np.asarray(inst.valid)
-    for t in range(grid.num_tiles):
-        assert starts[t] % config.chunk_size == 0
-        seg = tile_full[starts[t]:starts[t] + counts[t]]
-        assert (seg == t).all()
-        assert valid_full[starts[t]:starts[t] + counts[t]].all()
-    assert counts.sum() == int(inst.total)
-    assert valid_full.sum() == int(inst.total)
+    assert starts[0] == 0 and starts[grid.num_tiles] == total
+    assert (starts[1:] - starts[:-1] == counts).all()
+    assert counts.sum() == total
+    # gaussian 1 is at pixel (40, 8) -> tile (2, 0) -> id 2
+    assert counts[2] >= 1 and 1 in gids[starts[2]:starts[2] + counts[2]]
+
+    # output-stream layout: chunk-aligned per-tile runs covering the
+    # floor-aligned input windows, within the static capacity
+    k = config.chunk_size
+    ostarts = np.asarray(inst.out_starts)
+    assert (ostarts % k == 0).all()
+    nch = np.where(counts > 0,
+                   -(-(starts[1:] - (starts[:-1] // k) * k) // k), 0)
+    assert (ostarts[1:] - ostarts[:-1] == nch * k).all()
+    assert ostarts[-1] <= tiling.out_capacity(128, grid, k)
 
 
 def test_depth_ordering_within_tile():
@@ -65,8 +67,7 @@ def test_depth_ordering_within_tile():
     grid = tiling.make_tile_grid((16, 16), 16)
     inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
 
-    valid = np.asarray(inst.valid)
-    gids = np.asarray(inst.gaussian_id)[valid]
+    gids = np.asarray(inst.sorted_gid)[: int(inst.total)]
     depths = np.asarray(depth_ndc)[gids]
     assert (np.diff(depths) >= 0).all()
 
@@ -85,12 +86,10 @@ def test_overflow_counted():
     assert int(inst.clipped) == 18
 
 
-def test_alignment_never_drops():
-    # 3 tiles x 3 instances each; chunk alignment pads each tile's range to 8.
-    # The aligned capacity Ma = Mr + num_tiles * chunk budgets the worst-case
-    # padding, so alignment can NEVER drop a survivor (the backward's
-    # gid-sort reduction relies on every survivor holding a slot) — all 9
-    # instances keep slots at 8-aligned starts and nothing is clipped.
+def test_sorted_stream_and_seg_bounds():
+    # 3 tiles x 3 instances each: the sorted stream keeps tiles abutting
+    # (NO chunk alignment of the input), while each tile's OUTPUT run is
+    # chunk-aligned and covers its straddled floor-aligned input windows.
     mean = jnp.array([[8.0, 8.0]] * 3 + [[24.0, 8.0]] * 3 + [[40.0, 8.0]] * 3)
     radius = jnp.full((9,), 2.0)
     visible = jnp.ones((9,), bool)
@@ -101,14 +100,18 @@ def test_alignment_never_drops():
     inst = tiling.expand_and_sort(mean, radius, visible, depth_ndc, config, grid)
     assert int(inst.total) == 9
     assert int(inst.clipped) == 0
-    assert np.asarray(inst.tile_starts)[:3].tolist() == [0, 8, 16]
+    # sorted-space ranges abut: [0,3), [3,6), [6,9)
+    assert np.asarray(inst.tile_starts)[:4].tolist() == [0, 3, 6, 9]
     assert np.asarray(inst.tile_counts).tolist() == [3, 3, 3]
-    # compact ranks: stable gid sort of the aligned stream must reproduce
+    # tile 1's range [3, 6) straddles the chunk boundary at 8? no — but its
+    # floor window starts at 0, needing 1 chunk; tile 2's [6, 9) floor
+    # window starts at 0 covering 2 chunks
+    assert np.asarray(inst.out_starts)[:4].tolist() == [0, 8, 16, 32]
+    # compact ranks: stable gid sort of the survivor stream must reproduce
     # the seg_start/seg_end numbering exactly
-    valid = np.asarray(inst.valid)
-    gids = np.asarray(inst.gaussian_id)
-    order = np.argsort(np.where(valid, gids, 9), kind="stable")
-    compact_gids = gids[order][: int(inst.total)]
+    gids = np.asarray(inst.sorted_gid)[:9]
+    order = np.argsort(gids, kind="stable")
+    compact_gids = gids[order]
     for g in range(9):
         s, e = int(inst.seg_start[g]), int(inst.seg_end[g])
         assert (compact_gids[s:e] == g).all()
