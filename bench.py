@@ -465,7 +465,7 @@ def main():
 
                 probe = jax.jit(_sat_probe)
                 sdem = max(int(np.asarray(probe(b))) for b in batches)
-                msat = min(ladder_fit(int(sdem * 1.3)), mr_b)
+                msat = min(ladder_fit(int(sdem * 1.3), mr_b), mr_b)
                 print(f"# sat probe: demand {sdem} -> capacity {msat}")
                 cand = dataclasses.replace(best[1], max_sat_instances=msat)
                 try_measure(f"{best[0]} + sat{msat}", cand)

@@ -33,8 +33,8 @@ def main():
         print(f"== {name}: resuming with {ARMS[name]}", flush=True)
         r = subprocess.run(
             [sys.executable, "-m",
-             "splat_trainer_tpu.scripts.checkpoint_tools", "resume",
-             str(dst), "--step", "10000", *ARMS[name]],
+             "splat_trainer_tpu.scripts.checkpoint_tools",
+             str(dst), *ARMS[name], "--step", "10000"],
             cwd="/root/repo", capture_output=True, text=True, timeout=4200)
         out = r.stdout
         (dst / "resume.log").write_text(out + "\n--- stderr ---\n" + r.stderr)
