@@ -175,9 +175,10 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
             vis = segment_sum_contiguous(
                 vis_s[:, None], inst.seg_start, inst.seg_end,
                 abutting=True)[:, 0]
+            from splat_trainer_tpu.ops import scan_pallas
             kept_prefix = jnp.concatenate([
                 jnp.zeros((1,), jnp.int32),
-                jnp.cumsum(tiling._scan_guard(kept_s.astype(jnp.int32)))])
+                scan_pallas.cumsum(kept_s.astype(jnp.int32))])
             bundle["seg_start"] = kept_prefix.at[inst.seg_start].get(
                 indices_are_sorted=True, mode="promise_in_bounds")
             bundle["seg_end"] = kept_prefix.at[inst.seg_end].get(

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from splat_trainer_tpu.core.types import RasterConfig
+from splat_trainer_tpu.ops import scan_pallas
 
 
 class TileGrid(NamedTuple):
@@ -233,9 +234,14 @@ def expand_and_sort(
                                          conic=conic, qmax=qmax)
     span_x = jnp.maximum(x1 - x0, 1)
 
-    span = _scan_guard(span)
-    offsets = jnp.cumsum(span) - span              # exclusive cumsum, (N,)
-    total_raw = offsets[-1] + span[-1]
+    # Pallas sequential-scan kernel (ops/scan_pallas.py) on TPU: XLA's
+    # log-cascade scans cost ~1-4 ms each at instance capacities. f32
+    # accumulation is exact below 2^24; prefixes past that are already
+    # beyond any supported capacity (M <= 2^23 asserted below) and map to
+    # the drop slot regardless.
+    inc = scan_pallas.cumsum(span)
+    offsets = inc - span                           # exclusive cumsum, (N,)
+    total_raw = inc[-1]
     total = jnp.minimum(total_raw, M).astype(jnp.int32)
     clipped = (total_raw - total).astype(jnp.int32)
 
@@ -249,7 +255,7 @@ def expand_and_sort(
     starts = jnp.where(span > 0, offsets, M)  # M = dropped by scatter
     seg_marks = jnp.zeros((M,), jnp.int32).at[starts].max(
         jnp.arange(span.shape[0], dtype=jnp.int32), mode="drop")
-    gid = jax.lax.cummax(_scan_guard(seg_marks))
+    gid = scan_pallas.cummax(seg_marks)
 
     # per-instance per-gaussian values from ONE row-gather of a packed
     # (N, K) f32 matrix (cols 0-4 are integers < 2^24, exact in f32)
@@ -311,7 +317,7 @@ def expand_and_sort(
     # dropped from the RENDER stream too (not just the reduction space) —
     # rendering an instance that has no gradient slot would silently lose
     # its backward contribution.
-    pass_incl = jnp.cumsum(_scan_guard(keep_inst.astype(jnp.int32)))  # (M,) inclusive
+    pass_incl = scan_pallas.cumsum(keep_inst.astype(jnp.int32))  # (M,) inclusive
     keep_inst = keep_inst & (pass_incl <= Mr)
     n_pass_raw = pass_incl[-1]                # pre-cap survivor count
     n_pass = jnp.minimum(n_pass_raw, Mr)      # post-cap survivor count
@@ -344,6 +350,10 @@ def expand_and_sort(
     if M % k != 0 or Mr % k != 0:
         raise ValueError(f"max_instances ({M}) and max_render_instances "
                          f"({Mr}) must be multiples of chunk_size ({k})")
+    if M > 1 << 23:
+        raise ValueError(f"max_instances ({M}) above 2^23: the f32-exact "
+                         "window of the Pallas scan kernel (shard points "
+                         "across chips before growing past this)")
     counts = tile_starts[1:] - tile_starts[:-1]                  # (T,)
     c0 = tile_starts[:-1] // k                # first (floor) input chunk
     nch = jnp.where(counts > 0,
