@@ -26,6 +26,10 @@ ARMS = {
     "pack_off": ["trainer.grad_bf16_pack=false"],
     "bwd_scan_bf16": ["trainer.bwd_scan_bf16=true"],
     "fwd_scan_bf16": ["trainer.fwd_scan_bf16=true"],
+    # merged arm (fits the round wall-clock): bwd_scan_bf16 is gradient-only
+    # and already golden-gated at CPU scale, so a quality delta in this arm
+    # attributes to the forward half
+    "scan_bf16": ["trainer.bwd_scan_bf16=true", "trainer.fwd_scan_bf16=true"],
 }
 
 def main():
