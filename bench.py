@@ -437,9 +437,34 @@ def main():
                 ok = [r for r in ab_table
                   if r[2] is not None and not r[0].startswith("info:")]
                 best = min(ok, key=lambda r: r[2])
-            # info-only: forward-scan bf16 (quality-gated, never adopted)
-            try_measure("info: fwd_scan_bf16=True (not auto-adopted)",
-                        dataclasses.replace(best[1], fwd_scan_bf16=True))
+            # forward-scan bf16 touches the rendered image, so adoption is
+            # gated on the committed garden-scale quality A/B (VERDICT r3
+            # item 3: runs/ab_scan_bf16 resumed the final m3_r3 checkpoint
+            # +2k steps with fwd+bwd scan bf16 vs runs/ab_control). If the
+            # arm's final val PSNR is within tolerance of control, the knob
+            # is adoptable; with no recorded pass it stays info-only.
+            def _quality_ab_pass(arm, tol_db=0.15):
+                import json as _json
+                base = Path(__file__).parent / "runs"
+                try:
+                    ctrl = _json.loads(
+                        (base / "ab_control" / "result.json").read_text())
+                    res = _json.loads(
+                        (base / f"ab_{arm}" / "result.json").read_text())
+                    d = res["val_psnr"] - ctrl["val_psnr"]
+                    print(f"# quality A/B {arm}: val_psnr {res['val_psnr']:.2f}"
+                          f" vs control {ctrl['val_psnr']:.2f} ({d:+.2f} dB)")
+                    return d >= -tol_db
+                except Exception:
+                    return False
+
+            if _quality_ab_pass("scan_bf16"):
+                try_measure("fwd_scan_bf16=True (quality A/B passed)",
+                            dataclasses.replace(best[1], fwd_scan_bf16=True))
+            else:
+                try_measure("info: fwd_scan_bf16=True (no quality-A/B pass "
+                            "recorded; not auto-adopted)",
+                            dataclasses.replace(best[1], fwd_scan_bf16=True))
             ok = [r for r in ab_table
                   if r[2] is not None and not r[0].startswith("info:")]
             best = min(ok, key=lambda r: r[2])
