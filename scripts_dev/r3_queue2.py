@@ -33,8 +33,9 @@ def main():
         while os.path.exists(f"/proc/{WAIT_PID}"):
             time.sleep(15)
         print(f"pid {WAIT_PID} finished; queue starting", flush=True)
-    run("ab_control2",
-        [sys.executable, "scripts_dev/quality_ab.py", "control", "pack_off"],
+    run("m4_pose_v3",
+        [sys.executable, "scripts_dev/m4_pose_bilateral.py",
+         "--arms", "refined_v3"],
         timeout=3600)
     run("mcmc_m2",
         [sys.executable, "-m", "splat_trainer_tpu.scripts.train",
@@ -45,9 +46,8 @@ def main():
          "dataset.num_images=64", "dataset.image_size=[768,512]",
          "dataset.split_every=8"],
         timeout=2400)
-    run("m4_pose_v3",
-        [sys.executable, "scripts_dev/m4_pose_bilateral.py",
-         "--arms", "refined_v3"],
+    run("ab_control2",
+        [sys.executable, "scripts_dev/quality_ab.py", "control", "pack_off"],
         timeout=3600)
     print("queue done", flush=True)
 
