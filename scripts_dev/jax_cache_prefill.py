@@ -1,0 +1,271 @@
+"""Fill the procedural-dataset image cache by tracing on the TPU.
+
+The host path tracer (data/procedural.py::_trace) costs ~52 s per garden
+image on this box's single CPU — a cold cache (wiped /tmp between
+sessions) costs ~55 minutes before any run that needs ground-truth images
+can start. This script is a jnp port of the SAME shading math (where-based
+selects instead of boolean fancy indexing; exact uint32 hash arithmetic for
+the value noise) that renders a full 64-view garden cache on the chip in
+about a minute, then writes the .npy files to the exact cache paths the
+host renderer uses (ProceduralDataset._cache_path).
+
+Parity: the traced linear image is pooled on device, post-processed on
+host with the same numpy code as _render_image, and quantized to uint8.
+Against the host renderer the uint8 output differs only by TPU-vs-CPU
+f32 transcendental rounding — validated by --check (compares to a
+host-rendered reference image; requires mean |diff| < 0.1 LSB and
+<1% of pixels off by more than 1 LSB).
+
+Usage:
+  python scripts_dev/jax_cache_prefill.py garden   # 64 @ 1536x1024 seed 0
+  python scripts_dev/jax_cache_prefill.py m2       # 64 @ 768x512 seed 0
+  python scripts_dev/jax_cache_prefill.py garden --check
+"""
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from splat_trainer_tpu.data import procedural as P
+
+PRESETS = {
+    "garden": dict(num_images=64, image_size=(1536, 1024), split_every=8,
+                   seed=0),
+    "m2": dict(num_images=64, image_size=(768, 512), split_every=8, seed=0),
+    "m4": dict(num_images=64, image_size=(768, 512), split_every=8, seed=0,
+               appearance_jitter=0.15),
+}
+
+
+# -- jnp port of the textures (exact uint32 arithmetic) -----------------------
+
+def _hash01_j(ix, iz, seed):
+    # the host version computes in int64 then masks to 32 bits; uint32
+    # wrap-around arithmetic is identical mod 2^32 for * and +
+    ix = ix.astype(jnp.int32).astype(jnp.uint32)
+    iz = iz.astype(jnp.int32).astype(jnp.uint32)
+    h = (ix * jnp.uint32(374761393) + iz * jnp.uint32(668265263)
+         + jnp.uint32((seed * 1442695041) & 0xFFFFFFFF))
+    h = (h ^ (h >> 13)) * jnp.uint32(1274126177)
+    return ((h ^ (h >> 16)) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
+
+
+def _value_noise_j(x, z, seed):
+    ix, iz = jnp.floor(x), jnp.floor(z)
+    fx, fz = x - ix, z - iz
+    sx = fx * fx * (3 - 2 * fx)
+    sz = fz * fz * (3 - 2 * fz)
+    n00 = _hash01_j(ix, iz, seed)
+    n10 = _hash01_j(ix + 1, iz, seed)
+    n01 = _hash01_j(ix, iz + 1, seed)
+    n11 = _hash01_j(ix + 1, iz + 1, seed)
+    return (n00 * (1 - sx) * (1 - sz) + n10 * sx * (1 - sz)
+            + n01 * (1 - sx) * sz + n11 * sx * sz)
+
+
+def _fbm_j(x, z, seed, octaves=4):
+    total, amp, freq, norm = 0.0, 1.0, 1.0, 0.0
+    for o in range(octaves):
+        total = total + amp * _value_noise_j(x * freq, z * freq, seed + o)
+        norm += amp
+        amp *= 0.5
+        freq *= 2.0
+    return total / norm
+
+
+def _ground_albedo_j(px, pz, seed):
+    grass = jnp.array([0.30, 0.42, 0.22], jnp.float32)
+    dirt = jnp.array([0.48, 0.40, 0.30], jnp.float32)
+    n = _fbm_j(px * 1.7, pz * 1.7, seed, octaves=5)[..., None]
+    albedo = grass * (1 - n) + dirt * n
+    path = (jnp.abs(pz) < 0.45)
+    checker = ((jnp.floor(px * 2.2) + jnp.floor(pz * 2.2)) % 2
+               ).astype(jnp.float32)
+    pav = (0.45 + 0.25 * checker)[..., None] * jnp.ones(3, jnp.float32)
+    albedo = jnp.where(path[..., None], pav, albedo)
+    detail = (0.85
+              + 0.3 * _value_noise_j(px * 23.0, pz * 23.0, seed + 91)[..., None])
+    return albedo * detail
+
+
+def _sky_j(d, seed):
+    t = jnp.clip(-d[..., 1], 0.0, 1.0)[..., None]
+    horizon = jnp.array([0.85, 0.88, 0.95], jnp.float32)
+    zenith = jnp.array([0.35, 0.55, 0.90], jnp.float32)
+    base = horizon * (1 - t) + zenith * t
+    dn = _fbm_j(d[..., 0] * 6 + 9, d[..., 2] * 6 + 3, seed + 17, octaves=4)
+    cloud = jnp.clip(dn - 0.55, 0, 1)[..., None] * 2.2
+    return jnp.clip(base + cloud * jnp.array([0.9, 0.9, 0.9], jnp.float32),
+                    0, 1)
+
+
+# -- jnp port of the tracer (spheres unrolled, masks -> where) -----------------
+
+_LIGHT = jnp.asarray(P._LIGHT)
+
+
+def _intersect_spheres_j(o, d, centers, radii):
+    t_min = jnp.full(o.shape[:-1], jnp.inf, jnp.float32)
+    hit = jnp.full(o.shape[:-1], -1, jnp.int32)
+    for i in range(centers.shape[0]):
+        oc = o - centers[i]
+        b = (d * oc).sum(-1)
+        c2 = (oc * oc).sum(-1) - radii[i] * radii[i]
+        disc = b * b - c2
+        ok = disc > 0
+        sq = jnp.sqrt(jnp.where(ok, disc, 0))
+        t = -b - sq
+        valid = ok & (t > 1e-3) & (t < t_min)
+        t_min = jnp.where(valid, t, t_min)
+        hit = jnp.where(valid, i, hit)
+    return t_min, hit
+
+
+def _shadow_j(p, centers, radii):
+    sh = jnp.ones(p.shape[:-1], jnp.float32)
+    for i in range(centers.shape[0]):
+        oc = p - centers[i]
+        b = (_LIGHT * oc).sum(-1)
+        c2 = (oc * oc).sum(-1) - radii[i] * radii[i]
+        disc = b * b - c2
+        t = -b - jnp.sqrt(jnp.where(disc > 0, disc, 0))
+        sh = jnp.where((disc > 0) & (t > 1e-3), 0.18, sh)
+    return sh
+
+
+def _trace_j(o, d, sph, seed):
+    centers, radii, bases, stripes, stripe_freqs, shinys = sph
+    ts, hit = _intersect_spheres_j(o, d, centers, radii)
+    tg = jnp.where(d[..., 1] > 1e-6, -o[..., 1] / d[..., 1], jnp.inf)
+    pg = o + tg[..., None] * d
+    on_disc = (pg[..., 0] ** 2 + pg[..., 2] ** 2) < P._GROUND_R ** 2
+    tg = jnp.where(on_disc, tg, jnp.inf).astype(jnp.float32)
+
+    ground_first = tg < ts
+    color = _sky_j(d, seed)
+
+    # ground shading (computed everywhere, selected by mask — identical
+    # elementwise math to the host's boolean-indexed version)
+    g_mask = ground_first & jnp.isfinite(tg)
+    pgs = jnp.where(g_mask[..., None], pg, 0.0)
+    tgs = jnp.where(g_mask, tg, 1.0)
+    albedo = _ground_albedo_j(pgs[..., 0], pgs[..., 2], seed)
+    diff_g = jnp.maximum(-_LIGHT[1], 0.0)
+    sh_g = _shadow_j(pgs + jnp.array([0, -1e-3, 0], jnp.float32),
+                     centers, radii)
+    shade = albedo * (0.25 + 0.85 * diff_g * sh_g[..., None])
+    fade = jnp.clip(tgs / 40.0, 0, 0.5)[..., None]
+    ground_color = shade * (1 - fade) + color * fade
+    color = jnp.where(g_mask[..., None], ground_color, color)
+
+    # sphere shading
+    s_mask = (~ground_first) & (hit >= 0)
+    t_s = jnp.where(s_mask, ts, 1.0)[..., None]
+    p = o + t_s * d
+    out = jnp.zeros_like(p)
+    for i in range(centers.shape[0]):
+        m = s_mask & (hit == i)
+        pi = jnp.where(m[..., None], p, centers[i] + jnp.array(
+            [radii[i], 0, 0], jnp.float32))  # dummy on-sphere point off-mask
+        n = (pi - centers[i]) / radii[i]
+        stripe = 0.5 + 0.5 * jnp.sin(
+            stripe_freqs[i] * (pi[..., 1] - centers[i, 1]) / radii[i] * 2.0
+            + 3.0 * jnp.arctan2(n[..., 2], n[..., 0]))
+        albedo = (bases[i] * stripe[..., None]
+                  + stripes[i] * (1 - stripe[..., None]))
+        diff = jnp.clip((n * _LIGHT).sum(-1), 0, 1)[..., None]
+        sh = _shadow_j(pi + 1e-3 * n, centers, radii)[..., None]
+        view = -d
+        h = view + _LIGHT
+        h = h / jnp.maximum(
+            jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+        spec = shinys[i] * jnp.clip((n * h).sum(-1), 0, 1)[..., None] ** 48
+        shaded = albedo * (0.22 + 0.9 * diff * sh) + spec * sh
+        out = jnp.where(m[..., None], shaded, out)
+    return jnp.where(s_mask[..., None], out, color)
+
+
+@functools.partial(jax.jit, static_argnames=("seed", "ss", "h", "w"))
+def _trace_pool(o, d, sph, seed, ss, h, w):
+    lin = _trace_j(o, d, sph, seed)            # (H*W, 3) linear
+    lin = lin.reshape(h, ss, w, ss, 3).mean(axis=(1, 3))
+    return lin
+
+
+def render_image_tpu(dsobj, i, sph):
+    w, h = dsobj._image_size
+    ss = dsobj.supersample
+    W, H = w * ss, h * ss
+    T = dsobj.true_poses[i]
+    R_wc = T[:3, :3].T
+    eye = -R_wc @ T[:3, 3]
+    fx, fy, cx, cy = dsobj._intr[i] * ss
+
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    dirs_cam = np.stack([(xs + 0.5 - cx) / fx, (ys + 0.5 - cy) / fy,
+                         np.ones_like(xs)], axis=-1)
+    dcam = dirs_cam.reshape(-1, 3) @ R_wc.T
+    dcam /= np.linalg.norm(dcam, axis=-1, keepdims=True)
+    o = np.broadcast_to(eye.astype(np.float32), dcam.shape)
+
+    lin = np.asarray(_trace_pool(jnp.asarray(o), jnp.asarray(dcam), sph,
+                                 int(dsobj.seed), ss, h, w))
+    # identical host post-processing to _render_image
+    img = lin * dsobj._exposure[i, 0] * dsobj._wb[i, 0]
+    img = np.clip(img, 0.0, 1.0) ** (1 / 2.2)
+    return (img * 255).astype(np.uint8)
+
+
+def sphere_arrays(spheres):
+    return (jnp.asarray(np.stack([s.center for s in spheres])),
+            jnp.asarray(np.array([s.radius for s in spheres], np.float32)),
+            jnp.asarray(np.stack([s.base for s in spheres])),
+            jnp.asarray(np.stack([s.stripe for s in spheres])),
+            jnp.asarray(np.array([s.stripe_freq for s in spheres],
+                                 np.float32)),
+            jnp.asarray(np.array([s.shiny for s in spheres], np.float32)))
+
+
+def main():
+    preset = sys.argv[1] if len(sys.argv) > 1 else "garden"
+    check = "--check" in sys.argv
+    dsobj = P.ProceduralDataset(**PRESETS[preset])
+    sph = sphere_arrays(dsobj.spheres)
+    n = len(dsobj._images)
+
+    if check:
+        i = 0
+        ref_path = dsobj._cache_path(i)
+        if os.path.exists(ref_path):
+            ref = np.load(ref_path)
+        else:
+            print("rendering host reference (slow)...", flush=True)
+            ref = dsobj._render_image(i)
+        got = render_image_tpu(dsobj, i, sph)
+        diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+        frac_gt1 = float((diff > 1).mean())
+        print(f"check: mean|diff|={diff.mean():.4f} LSB, max={diff.max()}, "
+              f">1 LSB frac={frac_gt1:.5f}")
+        assert diff.mean() < 0.1 and frac_gt1 < 0.01, "parity check failed"
+        print("parity OK")
+
+    t0 = time.time()
+    done = 0
+    for i in range(n):
+        path = dsobj._cache_path(i)
+        if os.path.exists(path):
+            continue
+        img = render_image_tpu(dsobj, i, sph)
+        np.save(path + f".tmp{os.getpid()}.npy", img)
+        os.replace(path + f".tmp{os.getpid()}.npy", path)
+        done += 1
+    print(f"{preset}: filled {done}/{n} images in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
