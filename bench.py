@@ -386,6 +386,32 @@ def main():
             print(f"# tune {name}: FAILED ({type(e).__name__}: {e})"[:300])
             return None
 
+    # adoption margin (VERDICT r3 weak #7): a candidate only displaces the
+    # incumbent best when it wins by >=3% — best-of-2 chained loops through
+    # the relay still flip 1-3% calls on noise, and a noise-level greedy
+    # pick must not change a committed default.
+    TUNE_MARGIN = 0.97
+    margin_notes = []
+
+    def pick_best(current):
+        ok = [r for r in ab_table
+              if r[2] is not None and not r[0].startswith("info:")]
+        if not ok:
+            return current
+        cand = min(ok, key=lambda r: r[2])
+        if current is None or current[2] is None or cand is current:
+            return cand
+        if cand[2] <= current[2] * TUNE_MARGIN:
+            return cand
+        if cand[2] < current[2]:
+            note = (f"kept {current[0]} ({current[2]*1e3:.2f} ms) over "
+                    f"{cand[0]} ({cand[2]*1e3:.2f} ms) — win below the 3% "
+                    f"noise margin")
+            if note not in margin_notes:
+                margin_notes.append(note)
+                print(f"# tune margin: {note}")
+        return current
+
     if os.environ.get("BENCH_TUNE", "1") != "0":
         try_measure(f"base (ts{rcfg.tile_size}, tpb{rcfg.tiles_per_block})",
                     rcfg)
@@ -402,10 +428,8 @@ def main():
         try_measure(f"cumprod_scan={not rcfg.cumprod_scan}",
                     dataclasses.replace(rcfg,
                                         cumprod_scan=not rcfg.cumprod_scan))
-        ok = [r for r in ab_table
-                  if r[2] is not None and not r[0].startswith("info:")]
-        if ok:
-            best = min(ok, key=lambda r: r[2])
+        best = pick_best(None)
+        if best is not None:
             # tile_size 32 on top of the best tiles_per_block: fewer
             # instances (exact cull at coarser tiles) vs 4x pixels/block
             if rcfg.tile_size == 16:
@@ -414,9 +438,7 @@ def main():
                         rcfg_base, tile_size=32))[0],
                     tiles_per_block=best[1].tiles_per_block)
                 try_measure(f"ts32, tpb{ts32.tiles_per_block}", ts32)
-            ok = [r for r in ab_table
-                  if r[2] is not None and not r[0].startswith("info:")]
-            best = min(ok, key=lambda r: r[2])
+            best = pick_best(best)
             # re-toggle the kernel-strategy knobs at the winning binning
             # config (their win/loss flips with occupancy per tile).
             # bwd_scan_bf16 (gradient-only, strictly milder quantization
@@ -434,9 +456,7 @@ def main():
                 if any(r[1] == cand for r in ab_table):
                     continue  # already measured this exact config
                 try_measure(f"{best[0]} + {knob}={not cur}", cand)
-                ok = [r for r in ab_table
-                  if r[2] is not None and not r[0].startswith("info:")]
-                best = min(ok, key=lambda r: r[2])
+                best = pick_best(best)
             # forward-scan bf16 touches the rendered image, so adoption is
             # gated on the committed garden-scale quality A/B (VERDICT r3
             # item 3: runs/ab_scan_bf16 resumed the final m3_r3 checkpoint
@@ -465,9 +485,7 @@ def main():
                 try_measure("info: fwd_scan_bf16=True (no quality-A/B pass "
                             "recorded; not auto-adopted)",
                             dataclasses.replace(best[1], fwd_scan_bf16=True))
-            ok = [r for r in ab_table
-                  if r[2] is not None and not r[0].startswith("info:")]
-            best = min(ok, key=lambda r: r[2])
+            best = pick_best(best)
             # saturation compaction (lossless: gradient slabs past the
             # forward's early exit are exactly zero — parity-tested) at a
             # demand-bucketed capacity probed on this scene
@@ -494,9 +512,7 @@ def main():
                 print(f"# sat probe: demand {sdem} -> capacity {msat}")
                 cand = dataclasses.replace(best[1], max_sat_instances=msat)
                 try_measure(f"{best[0]} + sat{msat}", cand)
-                ok = [r for r in ab_table
-                  if r[2] is not None and not r[0].startswith("info:")]
-                best = min(ok, key=lambda r: r[2])
+                best = pick_best(best)
             except Exception as e:
                 print(f"# sat probe FAILED ({type(e).__name__}: {e})"[:300])
             if best[1] is not rcfg:
@@ -646,6 +662,8 @@ grad_bf16_pack={rcfg.grad_bf16_pack} (never auto-enabled).
 | candidate | ms/step |
 |---|---|
 {ab_md}
+
+{chr(10).join("Margin rule: " + n for n in margin_notes) if margin_notes else "Margin rule: no knob was within the 3% noise band of the incumbent."}
 
 Occupancy: {json.dumps(occ)}
 Clipped instances during the timed steps: {clipped_step}.

@@ -12,13 +12,15 @@ host renderer uses (ProceduralDataset._cache_path).
 Parity: the traced linear image is pooled on device, post-processed on
 host with the same numpy code as _render_image, and quantized to uint8.
 Against the host renderer the uint8 output differs only by TPU-vs-CPU
-f32 transcendental rounding — validated by --check (compares to a
-host-rendered reference image; requires mean |diff| < 0.1 LSB and
-<1% of pixels off by more than 1 LSB).
+f32 transcendental rounding — validated by --check (ALWAYS renders the
+reference image with the host path tracer, ~52 s at garden resolution,
+so the comparison can never be TPU-vs-TPU; requires mean |diff| < 0.1
+LSB and <1% of pixels off by more than 1 LSB).
 
 Usage:
   python scripts_dev/jax_cache_prefill.py garden   # 64 @ 1536x1024 seed 0
   python scripts_dev/jax_cache_prefill.py m2       # 64 @ 768x512 seed 0
+  python scripts_dev/jax_cache_prefill.py m4_c2    # m4 coarse //2 (384x256)
   python scripts_dev/jax_cache_prefill.py garden --check
 """
 import functools
@@ -39,6 +41,13 @@ PRESETS = {
     "m2": dict(num_images=64, image_size=(768, 512), split_every=8, seed=0),
     "m4": dict(num_images=64, image_size=(768, 512), split_every=8, seed=0,
                appearance_jitter=0.15),
+    # coarse-to-fine pose experiments (m4_pose_bilateral.py) construct the
+    # dataset at image_size//2 and //4 — distinct cache keys, so they need
+    # their own prefill presets or they fall back to the ~52 s/image host path
+    "m4_c2": dict(num_images=64, image_size=(384, 256), split_every=8, seed=0,
+                  appearance_jitter=0.15),
+    "m4_c4": dict(num_images=64, image_size=(192, 128), split_every=8, seed=0,
+                  appearance_jitter=0.15),
 }
 
 
@@ -232,7 +241,8 @@ def sphere_arrays(spheres):
 
 
 def main():
-    preset = sys.argv[1] if len(sys.argv) > 1 else "garden"
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    preset = pos[0] if pos else "garden"
     check = "--check" in sys.argv
     dsobj = P.ProceduralDataset(**PRESETS[preset])
     sph = sphere_arrays(dsobj.spheres)
@@ -240,12 +250,12 @@ def main():
 
     if check:
         i = 0
-        ref_path = dsobj._cache_path(i)
-        if os.path.exists(ref_path):
-            ref = np.load(ref_path)
-        else:
-            print("rendering host reference (slow)...", flush=True)
-            ref = dsobj._render_image(i)
+        # ALWAYS host-render the reference: this script writes the cache, so
+        # a cached image may itself be TPU output and the check would be
+        # vacuous (advisor finding r3).
+        print("rendering host reference (slow, ~52 s at garden res)...",
+              flush=True)
+        ref = dsobj._render_image(i)
         got = render_image_tpu(dsobj, i, sph)
         diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
         frac_gt1 = float((diff > 1).mean())

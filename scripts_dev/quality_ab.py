@@ -1,13 +1,22 @@
-"""Garden-scale quality A/B (VERDICT r3 item 3).
+"""Garden-scale quality A/B (VERDICT r3 item 3, hardened per r3 item 6).
 
 Protocol: only the FINAL m3_r3 checkpoint (step 12000) is committed, so
 each arm resumes it and trains 2000 further steps (total_steps=14000)
 under one kernel-knob override, evaluating at 13000/14000. A `control`
 arm (no knob override) provides the comparison point: every arm shares
 the identical start state, step budget, and schedule normalization, so
-eval deltas isolate the knob. tile_size 16-vs-32 needs no training arm —
-tests/test_rasterize_pallas.py::test_tile_size_parity proves outputs and
-gradients match to tolerance, so it cannot diverge training.
+eval deltas isolate the knob.
+
+Robustness (r3's control arm burned its subprocess timeout rendering the
+dataset cache):
+  * cache-warm step — the garden image cache is prefilled ONCE on the
+    chip (scripts_dev/jax_cache_prefill.py, ~1 min cold / no-op warm)
+    before any timed arm launches;
+  * per-arm wall-clock budget check — with --deadline <epoch-seconds>,
+    an arm only launches if the remaining budget covers the expected arm
+    time (ARM_EXPECTED_S), so a queue never half-burns its last arm;
+  * auto-retry — a failed arm (timeout / unparseable metrics) is retried
+    once before the queue moves on.
 
 Serial on the single chip; each arm gets its own workspace so the source
 run's checkpoint stays untouched.
@@ -16,6 +25,7 @@ import json
 import shutil
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 SRC = Path("/root/repo/runs/m3_r3")
@@ -26,18 +36,63 @@ ARMS = {
     "pack_off": ["trainer.grad_bf16_pack=false"],
     "bwd_scan_bf16": ["trainer.bwd_scan_bf16=true"],
     "fwd_scan_bf16": ["trainer.fwd_scan_bf16=true"],
-    # merged arm (fits the round wall-clock): bwd_scan_bf16 is gradient-only
-    # and already golden-gated at CPU scale, so a quality delta in this arm
-    # attributes to the forward half
+    # merged arm: bwd_scan_bf16 is gradient-only and already golden-gated at
+    # CPU scale, so a quality delta in this arm attributes to the forward half
     "scan_bf16": ["trainer.bwd_scan_bf16=true", "trainer.fwd_scan_bf16=true"],
+    # tile_size has a kernel-level parity test (test_tile_size_parity) but the
+    # judge asked for the training arm too (VERDICT r3 item 2)
+    "ts16": ["trainer.tile_size=16"],
 }
+ARM_TIMEOUT_S = 4200
+# 2000 steps @ ~250 ms + compile (~90 s) + 2 evals (~120 s) + load — observed
+# ~800-1000 s per arm at garden scale; budget with headroom
+ARM_EXPECTED_S = 1500
+
+
+def warm_cache():
+    print("== cache warm (jax_cache_prefill garden)", flush=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "scripts_dev.jax_cache_prefill", "garden"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    print(r.stdout.strip()[-500:], flush=True)
+    if r.returncode != 0:
+        print(r.stderr[-2000:], flush=True)
+        raise SystemExit("cache warm failed")
+
+
+def run_arm(name, dst, overrides):
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "splat_trainer_tpu.scripts.checkpoint_tools",
+         str(dst), *overrides, "--step", str(STEP)],
+        cwd="/root/repo", capture_output=True, text=True,
+        timeout=ARM_TIMEOUT_S)
+    out = r.stdout
+    (dst / "resume.log").write_text(out + "\n--- stderr ---\n" + r.stderr)
+    # final JSON metrics block is the last {...} in stdout
+    j = out[out.rindex("{"):]
+    metrics = json.loads(j)
+    (dst / "result.json").write_text(json.dumps(
+        {"arm": name, "overrides": overrides, **metrics}, indent=2))
+    return metrics
+
 
 def main():
-    names = sys.argv[1:] or list(ARMS)
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    deadline = None
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--deadline":
+            deadline = float(sys.argv[i + 2])
+    names = args or list(ARMS)
+    warm_cache()
     for name in names:
         dst = Path(f"/root/repo/runs/ab_{name}")
         if (dst / "result.json").exists():
             print(f"== {name}: already done"); continue
+        if deadline is not None and time.time() + ARM_EXPECTED_S > deadline:
+            print(f"== {name}: SKIPPED — {deadline - time.time():.0f}s left "
+                  f"< expected {ARM_EXPECTED_S}s", flush=True)
+            continue
         dst.mkdir(parents=True, exist_ok=True)
         shutil.copy(SRC / "config.yaml", dst / "config.yaml")
         shutil.copy(SRC / "cameras.json", dst / "cameras.json")
@@ -46,25 +101,18 @@ def main():
         if not ck.exists():
             shutil.copytree(SRC / "checkpoint" / f"checkpoint_{STEP}", ck)
         overrides = EXTEND + ARMS[name]
-        print(f"== {name}: resuming with {overrides}", flush=True)
-        r = subprocess.run(
-            [sys.executable, "-m",
-             "splat_trainer_tpu.scripts.checkpoint_tools",
-             str(dst), *overrides, "--step", str(STEP)],
-            cwd="/root/repo", capture_output=True, text=True, timeout=4200)
-        out = r.stdout
-        (dst / "resume.log").write_text(out + "\n--- stderr ---\n" + r.stderr)
-        # final JSON metrics block is the last {...} in stdout
-        try:
-            j = out[out.rindex("{"):]
-            metrics = json.loads(j)
-            (dst / "result.json").write_text(json.dumps(
-                {"arm": name, "overrides": overrides, **metrics}, indent=2))
-            print(f"== {name}: {metrics}", flush=True)
-        except Exception as e:
-            print(f"== {name}: FAILED to parse metrics ({e}); rc={r.returncode}",
+        for attempt in (1, 2):
+            print(f"== {name} (attempt {attempt}): resuming with {overrides}",
                   flush=True)
-            print(out[-2000:])
+            try:
+                metrics = run_arm(name, dst, overrides)
+                print(f"== {name}: {metrics}", flush=True)
+                break
+            except Exception as e:
+                print(f"== {name}: attempt {attempt} FAILED ({e})", flush=True)
+                log = dst / "resume.log"
+                if log.exists():
+                    print(log.read_text()[-1500:], flush=True)
 
 if __name__ == "__main__":
     main()
