@@ -515,6 +515,17 @@ def main():
                 best = pick_best(best)
             except Exception as e:
                 print(f"# sat probe FAILED ({type(e).__name__}: {e})"[:300])
+            # final re-toggle: kernel_basis / cumprod_scan were first
+            # measured at an f32-scan config where the MXU was saturated;
+            # their win/loss flips with MXU load, so each gets one more
+            # shot at the end config (greedy-order blind spot)
+            for knob in ("kernel_basis", "cumprod_scan"):
+                cur = getattr(best[1], knob)
+                cand = dataclasses.replace(best[1], **{knob: not cur})
+                if any(r[1] == cand for r in ab_table):
+                    continue
+                try_measure(f"final: {best[0]} + {knob}={not cur}", cand)
+                best = pick_best(best)
             if best[1] is not rcfg:
                 print(f"# tune: adopting {best[0]}")
             rcfg = best[1]

@@ -352,6 +352,196 @@ def run_arm_v3(name: str, *, out: Path, pose_noise: float, jitter: float,
     return result
 
 
+def align_all_cameras(trainer, ds, *, radius=10, min_ncc=0.45,
+                      cells=(12, 16), huber_px=3.0):
+    """One correspondence-based alignment round over every camera
+    (cameras/align.py): render consensus + median depth from each camera's
+    current effective pose, NCC-match keypoints into its observed image,
+    Gauss-Newton-solve the 6-DoF pose, and write the new per-image delta
+    into the scene (optimizer moments reset — the jump is discrete)."""
+    import jax
+    import jax.numpy as jnp
+
+    from splat_trainer_tpu.cameras import align as A
+    from splat_trainer_tpu.models import mlp_scene as ms
+    from splat_trainer_tpu.optim.sparse_adam import row_adam_init
+    from splat_trainer_tpu.utils import transforms as TR
+
+    rcfg = trainer.config.raster_config(render_median_depth=True)
+    scfg = trainer.config.scene
+    lum = jnp.asarray([0.299, 0.587, 0.114])
+
+    @jax.jit
+    def render_gray(scene, T, proj, near, far, idx):
+        cam0 = trainer.camera_params(0)
+        cam = cam0.replace(T_camera_world=T, projection=proj,
+                           near_plane=near, far_plane=far)
+        r = ms.render(scene, scfg, cam, idx, rcfg)
+        return r.image @ lum, r.median_depth_image
+
+    @jax.jit
+    def align_one(gray_r, depth, obs, proj, T_eff):
+        return A.align_camera(gray_r, depth, obs, proj, T_eff,
+                              cells=cells, radius=radius, min_ncc=min_ncc,
+                              huber_px=huber_px)
+
+    scene = trainer.scene
+    n = ds.camera_table.num_images
+    new_dq, new_dt, stats = [], [], []
+    for i in range(n):
+        cam = trainer.camera_params(i)
+        gray_r, depth = render_gray(scene, cam.T_camera_world,
+                                    cam.projection, cam.near_plane,
+                                    cam.far_plane, jnp.int32(i))
+        view = ds.loader([i])[0]
+        obs = jnp.asarray(view.image, jnp.float32) @ lum / 255.0
+
+        dq = np.asarray(TR.normalize(scene.pose_dq[i]), np.float64)
+        D = np.eye(4)
+        D[:3, :3] = np.asarray(TR.quat_to_rotmat(
+            jnp.asarray(dq, jnp.float32)), np.float64)
+        D[:3, 3] = np.asarray(scene.pose_dt[i], np.float64)
+        T_tab = np.asarray(cam.T_camera_world, np.float64)
+        T_eff = D @ T_tab
+
+        res = align_one(gray_r, depth, obs, cam.projection,
+                        jnp.asarray(T_eff, jnp.float32))
+        T_new = np.asarray(res.T_camera_world, np.float64)
+        # new delta w.r.t. the dataset table pose: delta = T_new @ T_tab^-1
+        Rt = T_tab[:3, :3]
+        T_tab_inv = np.eye(4)
+        T_tab_inv[:3, :3] = Rt.T
+        T_tab_inv[:3, 3] = -Rt.T @ T_tab[:3, 3]
+        Dn = T_new @ T_tab_inv
+        q = np.asarray(TR.rotmat_to_quat(
+            jnp.asarray(Dn[:3, :3], jnp.float32)))
+        new_dq.append(q)
+        new_dt.append(Dn[:3, 3].astype(np.float32))
+        stats.append((float(res.rms_px), float(res.inlier_frac)))
+
+    pose_dq = jnp.asarray(np.stack(new_dq))
+    pose_dt = jnp.asarray(np.stack(new_dt))
+    stacked = jnp.concatenate([pose_dq, pose_dt], axis=-1)
+    trainer.scene = scene.replace(pose_dq=pose_dq, pose_dt=pose_dt,
+                                  pose_opt=row_adam_init(stacked))
+    rms = np.mean([s[0] for s in stats])
+    inl = np.mean([s[1] for s in stats])
+    print(f"# align round: mean rms {rms:.2f} px, mean inliers {inl:.2f}",
+          flush=True)
+    return {"rms_px": float(rms), "inlier_frac": float(inl)}
+
+
+def run_arm_v4(name: str, *, out: Path, pose_noise: float, jitter: float,
+               fine_steps: int = 3000, num_images: int = 64,
+               image_size=(768, 512), points: int = 100_000) -> dict:
+    """Correspondence-based recovery (v4 — the VERDICT r3 protocol change).
+
+    v1-v3 all descended the photometric rendering loss and all diverged or
+    stalled: at this texture density the photometric basin around a ~1deg
+    pose error is narrower than any lr that moves poses usefully. v4 never
+    descends that loss for poses. Instead (cameras/align.py): the consensus
+    scene (trained briefly with poses FROZEN, geometry anchored by the true
+    SfM cloud init) is rendered from each camera with median depth;
+    keypoints are NCC-matched into the observed image (capture range =
+    search radius, independent of any basin); each camera's 6-DoF pose is
+    then SOLVED by Huber-robust Gauss-Newton PnP. Two consensus/align
+    rounds, then a fine joint polish.
+    """
+    from splat_trainer_tpu.color_corrector import BilateralCorrectorConfig
+    from splat_trainer_tpu.config import LogDecay
+    from splat_trainer_tpu.controller import DisabledConfig
+    from splat_trainer_tpu.data.procedural import ProceduralDataset
+    from splat_trainer_tpu.logger.tensorboard import TensorboardLogger
+    from splat_trainer_tpu.models.mlp_scene import MLPSceneConfig
+    from splat_trainer_tpu.trainer.config import TrainConfig
+    from splat_trainer_tpu.trainer.init import CloudInitConfig
+    from splat_trainer_tpu.trainer.trainer import Trainer
+    from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
+
+    common = dict(
+        controller=DisabledConfig(),
+        view_selection=RandomSamplerConfig(batch_size=1),
+        cloud_init=CloudInitConfig(initial_points=points,
+                                   limit_points=points // 2),
+        color_corrector=BilateralCorrectorConfig(),
+        target_points=points,
+        max_instances=1 << 21, chunk_size=128,
+        max_ssim_regression=1.0, save_checkpoints=False,
+        log_images=False, log_interval=50)
+
+    coarse_size = (image_size[0] // 2, image_size[1] // 2)
+    ds_coarse = ProceduralDataset(
+        num_images=num_images, image_size=coarse_size, split_every=8,
+        appearance_jitter=jitter, pose_noise=pose_noise, verbose=False)
+    ds_fine = ProceduralDataset(
+        num_images=num_images, image_size=image_size, split_every=8,
+        appearance_jitter=jitter, pose_noise=pose_noise, verbose=False)
+    true_poses = ds_fine.true_poses.astype(np.float64)
+
+    run_dir = out / f"m4_{name}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(run_dir)
+    stage_errors = {}
+    try:
+        logger = TensorboardLogger("tensorboard")
+
+        def consensus(tag, steps, scene=None):
+            cfg = TrainConfig(
+                total_steps=steps, eval_steps=steps,
+                scene=MLPSceneConfig(lr_pose=0.0),
+                save_output=False, **common)
+            t = Trainer.initialize(cfg, ds_coarse, logger)
+            if scene is not None:
+                t.scene = scene
+            t.train()
+            table = np.asarray(
+                ds_coarse.camera_table.cameras.camera_t_world, np.float64)
+            stage_errors[tag] = pose_errors(table, true_poses, t.scene)
+            print(f"# {tag}: pose error {stage_errors[tag]}", flush=True)
+            return t
+
+        t = consensus("A_consensus", 800)
+        for rnd in (1, 2):
+            align_all_cameras(t, ds_coarse)
+            table = np.asarray(
+                ds_coarse.camera_table.cameras.camera_t_world, np.float64)
+            stage_errors[f"align_{rnd}"] = pose_errors(
+                table, true_poses, t.scene)
+            print(f"# align_{rnd}: pose error {stage_errors[f'align_{rnd}']}",
+                  flush=True)
+            scene = t.scene
+            t.close()
+            t = consensus(f"A{rnd + 1}_consensus", 400, scene)
+
+        # fine joint polish: full res, scene + small decaying pose lr
+        cfg_fine = TrainConfig(
+            total_steps=fine_steps, eval_steps=max(fine_steps // 3, 1),
+            scene=MLPSceneConfig(lr_pose=LogDecay(5e-4, 0.1)),
+            save_output=True, **common)
+        t2 = Trainer.initialize(cfg_fine, ds_fine, logger)
+        t2.scene = t.scene
+        t.close()
+        metrics = t2.train()
+        table = np.asarray(ds_fine.camera_table.cameras.camera_t_world,
+                           np.float64)
+        result = {
+            "arm": name,
+            "val_psnr": metrics.get("val_psnr"),
+            "val_ssim": metrics.get("val_ssim"),
+            "val_cc_psnr": metrics.get("val_cc_psnr"),
+            "pose_error_injected": pose_errors(table, true_poses),
+            "pose_error_stages": stage_errors,
+            "pose_error_refined": pose_errors(table, true_poses, t2.scene),
+        }
+        t2.close()
+    finally:
+        os.chdir(cwd)
+    (run_dir / "result.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result, indent=2), flush=True)
+    return result
+
+
 def main():
     if os.environ.get("M4_FORCE_CPU"):
         # sitecustomize forces the axon TPU platform regardless of
@@ -404,6 +594,10 @@ def main():
     if "refined_v3" in arms:
         results.append(run_arm_v3(
             "refined_v3", out=out, pose_noise=args.pose_noise,
+            jitter=args.jitter, fine_steps=args.fine_steps, **scale))
+    if "refined_v4" in arms:
+        results.append(run_arm_v4(
+            "refined_v4", out=out, pose_noise=args.pose_noise,
             jitter=args.jitter, fine_steps=args.fine_steps, **scale))
     print("\n== summary ==")
     for r in results:

@@ -155,16 +155,25 @@ def _cumprod_excl(om):
     return x
 
 
-def _chunk_geometry(data, px, py, start, end, off, valid_px,
+def _chunk_geometry(data, px, py, start, end, off,
                     config: RasterConfig, k: int):
     """Shared fwd/bwd per-chunk alpha computation (elementwise path).
 
-    data: (16, K) field rows; px/py/valid_px: (P, 1).
+    data: (16, K) field rows; px/py: (P, 1) with INVALID pixels already
+    pushed to the far-coordinate sentinel (_pixel_coords) — their power is
+    hugely negative, so alpha masks itself without a (P, K) validity pass.
+    The out-of-range lane mask is folded into the (1, K) opacity row for
+    the same reason: every (P, K) boolean AND this used to chain is a full
+    VPU pass over the chunk.
     Returns alpha (P, K) plus reusable intermediates.
     """
     mx, my = data[0:1, :], data[1:2, :]
     ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
     op = data[5:6, :]
+
+    ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    in_range = (ids >= start) & (ids < end)          # (1, K)
+    op = jnp.where(in_range, op, 0.0)                # (1, K) fold
 
     dx = px - mx            # (P, K)
     dy = py - my
@@ -172,9 +181,7 @@ def _chunk_geometry(data, px, py, start, end, off, valid_px,
     expp = jnp.exp(power)
     alpha = jnp.minimum(op * expp, config.alpha_clamp)
 
-    ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    in_range = (ids >= start) & (ids < end)
-    keep = (power <= 0.0) & (alpha >= config.alpha_threshold) & in_range & valid_px
+    keep = (power <= 0.0) & (alpha >= config.alpha_threshold)
     alpha = jnp.where(keep, alpha, 0.0)
     return alpha, expp, dx, dy, (ca, cb, cc)
 
@@ -252,17 +259,24 @@ def _chunk_geometry_basis(data, basis, cx, cy, start, end, off, valid_px,
 
 
 def _pixel_coords(t, grid: TileGrid, image_size):
-    """Pixel centers of tile t as (P, 1) columns + validity mask."""
+    """Pixel centers of tile t as (P, 1) columns + validity mask.
+
+    Invalid pixels (tile padding past the image edge) are pushed to a far
+    coordinate sentinel: their conic power is hugely negative (or NaN for a
+    degenerate conic — either way the keep-mask zeroes alpha), so the
+    elementwise geometry path needs no per-pixel validity AND — one fewer
+    (P, K) VPU pass per chunk. The mask is still returned for the basis
+    path (whose matmul power has no such self-masking)."""
     p = grid.tile_size * grid.tile_size
     tx = t % grid.ntx
     ty = t // grid.ntx
     pix = lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     ix = tx * grid.tile_size + pix % grid.tile_size
     iy = ty * grid.tile_size + pix // grid.tile_size
-    px = ix.astype(jnp.float32) + 0.5
-    py = iy.astype(jnp.float32) + 0.5
     w, h = image_size
     valid = (ix < w) & (iy < h)
+    px = jnp.where(valid, ix.astype(jnp.float32) + 0.5, jnp.float32(1e9))
+    py = jnp.where(valid, iy.astype(jnp.float32) + 0.5, jnp.float32(1e9))
     return px, py, valid
 
 
@@ -303,9 +317,9 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
         end = start + counts_ref[t]
         o0 = ostarts_ref[t] // k
         px, py, valid_px = _pixel_coords(t, grid, image_size)
+        ones_p = jnp.ones((1, p), jnp.float32)
         if config.kernel_basis:
             basis, bcx, bcy = _tile_basis(t, grid)
-            ones_p = jnp.ones((1, p), jnp.float32)
         c0, nch = _chunk_bounds(start, end, k)
 
         def inst_copy(i, slot):
@@ -359,7 +373,7 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
                     config, k)
             else:
                 alpha, _expp, _dx, _dy, _con = _chunk_geometry(
-                    data, px, py, start, end, off, valid_px, config, k)
+                    data, px, py, start, end, off, config, k)
 
             # transmittance prefix product: T_excl_j = T * prod_{i<j}(1-a_i);
             # a <= alpha_clamp < 1 (strategy per RasterConfig.cumprod_scan)
@@ -398,13 +412,12 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
             def _():
                 vis_copy(i - 2, slot).wait()
 
-            if config.kernel_basis:
-                # row sum on the MXU (the VPU is the bottleneck here)
-                vis_buf[slot, 0:1] = lax.dot_general(
-                    ones_p, w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            else:
-                vis_buf[slot, 0:1] = jnp.sum(w, axis=0, keepdims=True)
+            # row sum on the MXU in BOTH paths: the VPU is the kernel's
+            # bottleneck, and a (1, P) x (P, K) contraction rides the MXU
+            # for the cost of issuing one matmul
+            vis_buf[slot, 0:1] = lax.dot_general(
+                ones_p, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             vis_buf[slot, 1:2] = key_row_of(data[10:11, :], off)
             vis_copy(i, slot).start()
 
@@ -651,7 +664,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                     config, k)
             else:
                 alpha, expp, dx, dy, (ca, cb, cc) = _chunk_geometry(
-                    data, px, py, start, end, off, valid_px, config, k)
+                    data, px, py, start, end, off, config, k)
 
             om = 1.0 - alpha
             if config.cumprod_scan:
@@ -674,11 +687,11 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
 
             safe_om = jnp.maximum(om, 1e-6)
             d_alpha = T_excl * cg - Sg_after / safe_om
-            d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
-
+            # dpow = d_alpha * alpha on the unclamped support; alpha == 0
+            # lanes self-mask through the product (d_alpha is finite there:
+            # om == 1), so the old alpha > 0 where-pass is redundant
             unclamped = alpha < config.alpha_clamp
-            d_al_u = jnp.where(unclamped, d_alpha, 0.0)
-            dpow = d_al_u * alpha                                    # (P, K)
+            dpow = jnp.where(unclamped, d_alpha, 0.0) * alpha        # (P, K)
 
             if moments and not config.kernel_basis:
                 # elementwise geometry, MXU reductions: recover the
@@ -715,6 +728,7 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 prune = gw[3:4]
             else:
                 Gm = jnp.where(alpha > 0.0, expp, 0.0)
+                d_al_u = jnp.where(unclamped, d_alpha, 0.0)
                 dop = jnp.sum(d_al_u * Gm, axis=0, keepdims=True)    # (1, K)
                 dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0,
                               keepdims=True)
