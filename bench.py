@@ -440,14 +440,18 @@ def main():
                 try_measure(f"ts32, tpb{ts32.tiles_per_block}", ts32)
             best = pick_best(best)
             # re-toggle the kernel-strategy knobs at the winning binning
-            # config (their win/loss flips with occupancy per tile).
-            # bwd_scan_bf16 (gradient-only, strictly milder quantization
-            # than the default-on grad_bf16_pack) and grad_pack_in_kernel
-            # (bitwise-identical to the outside pack) are adoptable;
-            # fwd_scan_bf16 touches the rendered image and is measured
-            # info-only below, never adopted here.
+            # config (their win/loss flips with occupancy per tile). Only
+            # LOSSLESS knobs here: kernel_basis/cumprod_scan/bwd_moments are
+            # associativity/strategy changes, grad_pack_in_kernel is
+            # bitwise-identical to the outside pack, pallas_scans is an
+            # exact-arithmetic scan kernel (i32-in-f32 < 2^24, chip-qualified
+            # by scripts_dev/qualify_scans.py before bench may adopt it).
+            # The bf16-scan knobs
+            # (bwd AND fwd — r3's "strictly milder" rationale for adopting
+            # bwd unilaterally was flagged by the verdict) only become
+            # adoptable after the garden-scale quality A/B below.
             for knob in ("kernel_basis", "cumprod_scan", "bwd_moments",
-                         "bwd_scan_bf16", "grad_pack_in_kernel"):
+                         "grad_pack_in_kernel", "pallas_scans"):
                 cur = getattr(best[1], knob)
                 if knob == "grad_pack_in_kernel" and not cur \
                         and not best[1].grad_bf16_pack:
@@ -457,12 +461,13 @@ def main():
                     continue  # already measured this exact config
                 try_measure(f"{best[0]} + {knob}={not cur}", cand)
                 best = pick_best(best)
-            # forward-scan bf16 touches the rendered image, so adoption is
-            # gated on the committed garden-scale quality A/B (VERDICT r3
-            # item 3: runs/ab_scan_bf16 resumed the final m3_r3 checkpoint
-            # +2k steps with fwd+bwd scan bf16 vs runs/ab_control). If the
-            # arm's final val PSNR is within tolerance of control, the knob
-            # is adoptable; with no recorded pass it stays info-only.
+            # bf16 scan contractions change numerics (bwd: gradients only;
+            # fwd: the rendered image), so adoption is gated on the
+            # committed garden-scale quality A/B (runs/ab_scan_bf16 resumed
+            # the final m3_r3 checkpoint +2k steps with fwd+bwd scan bf16,
+            # vs runs/ab_control on the identical protocol). If the arm's
+            # final val PSNR is within tolerance of control, both knobs are
+            # adoptable; with no recorded pass they stay info-only.
             def _quality_ab_pass(arm, tol_db=0.15):
                 import json as _json
                 base = Path(__file__).parent / "runs"
@@ -478,14 +483,16 @@ def main():
                 except Exception:
                     return False
 
-            if _quality_ab_pass("scan_bf16"):
-                try_measure("fwd_scan_bf16=True (quality A/B passed)",
-                            dataclasses.replace(best[1], fwd_scan_bf16=True))
-            else:
-                try_measure("info: fwd_scan_bf16=True (no quality-A/B pass "
-                            "recorded; not auto-adopted)",
-                            dataclasses.replace(best[1], fwd_scan_bf16=True))
-            best = pick_best(best)
+            scan_ok = _quality_ab_pass("scan_bf16")
+            tag = ("quality A/B passed" if scan_ok
+                   else "no quality-A/B pass recorded; not adopted")
+            for knob in ("bwd_scan_bf16", "fwd_scan_bf16"):
+                cand = dataclasses.replace(best[1], **{knob: True})
+                if any(r[1] == cand for r in ab_table):
+                    continue
+                try_measure(f"{'' if scan_ok else 'info: '}{knob}=True "
+                            f"({tag})", cand)
+                best = pick_best(best)
             # saturation compaction (lossless: gradient slabs past the
             # forward's early exit are exactly zero — parity-tested) at a
             # demand-bucketed capacity probed on this scene
