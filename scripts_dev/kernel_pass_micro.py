@@ -73,6 +73,33 @@ def _op_bf16_mul(x, y):
             ).astype(jnp.float32)
 
 
+def _op_bf16_fma(x, y):
+    a = x.astype(jnp.bfloat16)
+    b = y.astype(jnp.bfloat16)
+    return (a * b + a).astype(jnp.float32)
+
+
+def _op_bf16_exp(x, y):
+    return jnp.exp(x.astype(jnp.bfloat16) * jnp.bfloat16(1e-3)
+                   ).astype(jnp.float32)
+
+
+def _op_bf16_log1p(x, y):
+    a = jnp.minimum(jnp.abs(x.astype(jnp.bfloat16)) * jnp.bfloat16(1e-3),
+                    jnp.bfloat16(0.9))
+    return jnp.log1p(a).astype(jnp.float32)
+
+
+def _op_bf16_where(x, y):
+    a = x.astype(jnp.bfloat16)
+    b = y.astype(jnp.bfloat16)
+    return jnp.where(a > 0, a, b).astype(jnp.float32)
+
+
+def _op_exp2(x, y):
+    return jnp.exp2(x * 1e-3)
+
+
 def _op_scan_f32(x, y):
     u = _triu(jnp.float32)
     return lax.dot_general(x, u, (((1,), (0,)), ((), ())),
@@ -95,8 +122,11 @@ def _triu(dt):
 
 OPS = {
     "mul": _op_mul, "fma": _op_fma, "add": _op_add, "div": _op_div,
-    "exp": _op_exp, "log1p": _op_log1p, "where": _op_where,
+    "exp": _op_exp, "exp2": _op_exp2, "log1p": _op_log1p,
+    "where": _op_where,
     "cmp_and": _op_cmp_and, "min": _op_min, "bf16_mul": _op_bf16_mul,
+    "bf16_fma": _op_bf16_fma, "bf16_exp": _op_bf16_exp,
+    "bf16_log1p": _op_bf16_log1p, "bf16_where": _op_bf16_where,
     "scan_matmul_f32": _op_scan_f32, "scan_matmul_bf16": _op_scan_bf16,
 }
 

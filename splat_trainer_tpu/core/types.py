@@ -233,6 +233,16 @@ class RasterConfig:
     # instance's transmittance contribution, so this one needs an at-scale
     # quality A/B before defaulting on (bench.py A/Bs it; golden-gated).
     fwd_scan_bf16: bool = False
+    # run the binning pipeline's four load-bearing 1D prefix scans (span
+    # offsets, gid cummax fill, cull-survivor renumbering, kept-prefix
+    # remap) through the sequential-grid Pallas scan kernel
+    # (ops/scan_pallas.py) instead of XLA's logarithmic pass cascade
+    # (~1-4 ms per scan at instance capacities). LOSSLESS: the kernel's
+    # MXU f32 accumulation is exact below 2^24, which max_instances <= 2^23
+    # guarantees (tests/test_scan_pallas.py parity). Default off until
+    # bench.py qualifies the Mosaic lowering on the target backend; the
+    # SPLAT_PALLAS_SCANS env var (1/0) overrides in either direction.
+    pallas_scans: bool = False
     # perform grad_bf16_pack's pair-packing INSIDE the backward kernel
     # (manual round-to-nearest-even on u32 bits — bit-identical to the
     # outside astype(bf16) path): the gradient slab shrinks 16 -> 8 rows

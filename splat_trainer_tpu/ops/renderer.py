@@ -178,7 +178,8 @@ def _make_pallas_fn(grid: tiling.TileGrid, image_size, config: RasterConfig,
             from splat_trainer_tpu.ops import scan_pallas
             kept_prefix = jnp.concatenate([
                 jnp.zeros((1,), jnp.int32),
-                scan_pallas.cumsum(kept_s.astype(jnp.int32))])
+                scan_pallas.cumsum(kept_s.astype(jnp.int32),
+                                   enable=config.pallas_scans)])
             bundle["seg_start"] = kept_prefix.at[inst.seg_start].get(
                 indices_are_sorted=True, mode="promise_in_bounds")
             bundle["seg_end"] = kept_prefix.at[inst.seg_end].get(

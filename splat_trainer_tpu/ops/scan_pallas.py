@@ -130,29 +130,32 @@ def _scan1d(x, op: str, interpret: bool):
     return out.reshape(-1)[:m]
 
 
-def _use_pallas() -> bool:
-    # default OFF until the kernel's Mosaic lowering is qualified on the
-    # target backend (SPLAT_PALLAS_SCANS=1 enables; =0/unset falls back to
-    # the guarded XLA scans)
-    if os.environ.get("SPLAT_PALLAS_SCANS", "0") == "0":
+def _use_pallas(enable: bool | None) -> bool:
+    # RasterConfig.pallas_scans selects the path; the SPLAT_PALLAS_SCANS
+    # env var overrides in either direction (dev/qualification hook).
+    # Never on CPU — interpret mode is the explicit test hook below.
+    env = os.environ.get("SPLAT_PALLAS_SCANS")
+    if env is not None:
+        enable = env != "0"
+    if not enable:
         return False
     return jax.default_backend() not in ("cpu",)
 
 
-def cumsum(x: jax.Array) -> jax.Array:
+def cumsum(x: jax.Array, enable: bool | None = None) -> jax.Array:
     """Inclusive cumsum of a 1D i32/f32 array. Exact for i32 while the
     total stays < 2^24 (the MXU accumulates in f32) — all binning scans
     are bounded by the instance capacity, which the callers assert."""
-    if not _use_pallas():
+    if not _use_pallas(enable):
         from splat_trainer_tpu.ops.tiling import _scan_guard
         return jnp.cumsum(_scan_guard(x))
     return _scan1d(x, "add", interpret=False).astype(x.dtype)
 
 
-def cummax(x: jax.Array) -> jax.Array:
+def cummax(x: jax.Array, enable: bool | None = None) -> jax.Array:
     """Inclusive cummax of a 1D i32/f32 array (i32 values must fit f32
     exactly, i.e. < 2^24 — ids are bounded by the point/tile counts)."""
-    if not _use_pallas():
+    if not _use_pallas(enable):
         from splat_trainer_tpu.ops.tiling import _scan_guard
         return lax.cummax(_scan_guard(x))
     return _scan1d(x, "max", interpret=False).astype(x.dtype)

@@ -239,7 +239,7 @@ def expand_and_sort(
     # accumulation is exact below 2^24; prefixes past that are already
     # beyond any supported capacity (M <= 2^23 asserted below) and map to
     # the drop slot regardless.
-    inc = scan_pallas.cumsum(span)
+    inc = scan_pallas.cumsum(span, enable=config.pallas_scans)
     offsets = inc - span                           # exclusive cumsum, (N,)
     total_raw = inc[-1]
     total = jnp.minimum(total_raw, M).astype(jnp.int32)
@@ -255,7 +255,7 @@ def expand_and_sort(
     starts = jnp.where(span > 0, offsets, M)  # M = dropped by scatter
     seg_marks = jnp.zeros((M,), jnp.int32).at[starts].max(
         jnp.arange(span.shape[0], dtype=jnp.int32), mode="drop")
-    gid = scan_pallas.cummax(seg_marks)
+    gid = scan_pallas.cummax(seg_marks, enable=config.pallas_scans)
 
     # per-instance per-gaussian values from ONE row-gather of a packed
     # (N, K) f32 matrix (cols 0-4 are integers < 2^24, exact in f32)
@@ -317,7 +317,8 @@ def expand_and_sort(
     # dropped from the RENDER stream too (not just the reduction space) —
     # rendering an instance that has no gradient slot would silently lose
     # its backward contribution.
-    pass_incl = scan_pallas.cumsum(keep_inst.astype(jnp.int32))  # (M,) inclusive
+    pass_incl = scan_pallas.cumsum(
+        keep_inst.astype(jnp.int32), enable=config.pallas_scans)  # (M,) incl
     keep_inst = keep_inst & (pass_incl <= Mr)
     n_pass_raw = pass_incl[-1]                # pre-cap survivor count
     n_pass = jnp.minimum(n_pass_raw, Mr)      # post-cap survivor count
