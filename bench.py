@@ -450,12 +450,28 @@ def main():
             # (bwd AND fwd — r3's "strictly milder" rationale for adopting
             # bwd unilaterally was flagged by the verdict) only become
             # adoptable after the garden-scale quality A/B below.
+            def _scans_qualified():
+                import json as _json
+                try:
+                    rec = _json.loads(
+                        (Path(__file__).parent / "runs" /
+                         "scan_qualification.json").read_text())
+                    return bool(rec.get("qualified"))
+                except Exception:
+                    return False
+
             for knob in ("kernel_basis", "cumprod_scan", "bwd_moments",
                          "grad_pack_in_kernel", "pallas_scans"):
                 cur = getattr(best[1], knob)
                 if knob == "grad_pack_in_kernel" and not cur \
                         and not best[1].grad_bf16_pack:
                     continue  # requires grad_bf16_pack
+                if knob == "pallas_scans" and not cur \
+                        and not _scans_qualified():
+                    print("# tune: pallas_scans skipped (no chip "
+                          "qualification record — run "
+                          "scripts_dev/qualify_scans.py)")
+                    continue
                 cand = dataclasses.replace(best[1], **{knob: not cur})
                 if any(r[1] == cand for r in ab_table):
                     continue  # already measured this exact config

@@ -379,11 +379,13 @@ def align_all_cameras(trainer, ds, *, radius=10, min_ncc=0.45,
         r = ms.render(scene, scfg, cam, idx, rcfg)
         return r.image @ lum, r.median_depth_image
 
+    far = float(trainer.camera_params(0).far_plane)
+
     @jax.jit
     def align_one(gray_r, depth, obs, proj, T_eff):
         return A.align_camera(gray_r, depth, obs, proj, T_eff,
                               cells=cells, radius=radius, min_ncc=min_ncc,
-                              huber_px=huber_px)
+                              huber_px=huber_px, max_depth=0.9 * far)
 
     scene = trainer.scene
     n = ds.camera_table.num_images
@@ -406,6 +408,15 @@ def align_all_cameras(trainer, ds, *, radius=10, min_ncc=0.45,
 
         res = align_one(gray_r, depth, obs, cam.projection,
                         jnp.asarray(T_eff, jnp.float32))
+        # acceptance guard: a camera whose solve had too few confident
+        # correspondences (blank consensus region, sky-dominated view)
+        # keeps its existing delta — never replace a pose with a solve
+        # the solver itself reports as unsupported
+        if float(res.inlier_frac) < 0.25:
+            new_dq.append(dq.astype(np.float32))
+            new_dt.append(np.asarray(scene.pose_dt[i], np.float32))
+            stats.append((float(res.rms_px), float(res.inlier_frac), 0))
+            continue
         T_new = np.asarray(res.T_camera_world, np.float64)
         # new delta w.r.t. the dataset table pose: delta = T_new @ T_tab^-1
         Rt = T_tab[:3, :3]
@@ -417,7 +428,7 @@ def align_all_cameras(trainer, ds, *, radius=10, min_ncc=0.45,
             jnp.asarray(Dn[:3, :3], jnp.float32)))
         new_dq.append(q)
         new_dt.append(Dn[:3, 3].astype(np.float32))
-        stats.append((float(res.rms_px), float(res.inlier_frac)))
+        stats.append((float(res.rms_px), float(res.inlier_frac), 1))
 
     pose_dq = jnp.asarray(np.stack(new_dq))
     pose_dt = jnp.asarray(np.stack(new_dt))
@@ -426,9 +437,11 @@ def align_all_cameras(trainer, ds, *, radius=10, min_ncc=0.45,
                                   pose_opt=row_adam_init(stacked))
     rms = np.mean([s[0] for s in stats])
     inl = np.mean([s[1] for s in stats])
-    print(f"# align round: mean rms {rms:.2f} px, mean inliers {inl:.2f}",
-          flush=True)
-    return {"rms_px": float(rms), "inlier_frac": float(inl)}
+    acc = int(sum(s[2] for s in stats))
+    print(f"# align round: mean rms {rms:.2f} px, mean inliers {inl:.2f}, "
+          f"accepted {acc}/{len(stats)}", flush=True)
+    return {"rms_px": float(rms), "inlier_frac": float(inl),
+            "accepted": acc}
 
 
 def run_arm_v4(name: str, *, out: Path, pose_noise: float, jitter: float,

@@ -86,6 +86,14 @@ def main():
             print(f"{op} {label}: {(time.perf_counter()-t0)/20*1e3:.3f} ms "
                   f"at m={m}", flush=True)
 
+    # bench.py only lets auto-tune toggle pallas_scans when this record
+    # says the compiled kernel matched guarded-XLA on this backend
+    import json
+    from pathlib import Path
+    rec = {"qualified": ok, "backend": jax.default_backend(),
+           "sizes": SIZES}
+    Path("/root/repo/runs/scan_qualification.json").write_text(
+        json.dumps(rec, indent=2))
     print("QUALIFIED" if ok else "NOT QUALIFIED", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -241,14 +241,18 @@ def align_camera(render_gray: jax.Array, render_depth: jax.Array,
                  cells: tuple[int, int] = (12, 16), patch: int = 9,
                  radius: int = 10, min_grad: float = 1e-4,
                  min_ncc: float = 0.5, iters: int = 10,
-                 huber_px: float = 2.0) -> PnPResult:
+                 huber_px: float = 2.0,
+                 max_depth: float | None = None) -> PnPResult:
     """One correspondence-based alignment round for one camera.
 
     render_gray/render_depth: consensus render + median depth from the
     CURRENT pose; observed_gray: the captured image; both (H, W) float.
     Weak keypoints (flat gradient), weak matches (NCC below min_ncc), and
-    sky pixels (depth at far plane) are soft-rejected through the PnP
-    confidence weights.
+    sky pixels (median depth saturated at the far plane — their true
+    geometry is unknown, and a far-plane 3D point with a matched 2D offset
+    injects a large spurious translation constraint) are soft-rejected
+    through the PnP confidence weights; pass `max_depth` (e.g. 0.9 * far)
+    to enable the sky rejection.
     """
     border = patch // 2 + radius + 1
     pts, grad = select_keypoints(render_gray, cells, border)
@@ -257,7 +261,9 @@ def align_camera(render_gray: jax.Array, render_depth: jax.Array,
     d = jax.vmap(lambda p: render_depth[p[1].astype(jnp.int32),
                                         p[0].astype(jnp.int32)])(pts)
     X = backproject(pts, d, intrinsics, T_camera_world)
-    w = ((grad > min_grad) & (ncc > min_ncc)).astype(jnp.float32) \
-        * jnp.maximum(ncc, 0.0)
+    keep = (grad > min_grad) & (ncc > min_ncc)
+    if max_depth is not None:
+        keep = keep & (d < max_depth)
+    w = keep.astype(jnp.float32) * jnp.maximum(ncc, 0.0)
     return solve_pnp_gn(X, matched, intrinsics, T_camera_world,
                         weights=w, iters=iters, huber_px=huber_px)

@@ -98,6 +98,10 @@ class TrainConfig:
     # pair-pack backward gradients inside the kernel (RasterConfig.
     # grad_pack_in_kernel; bitwise-identical to grad_bf16_pack's result)
     grad_pack_in_kernel: bool = False
+    # binning prefix scans via the sequential-grid Pallas kernel
+    # (RasterConfig.pallas_scans; exact — chip-qualified by
+    # scripts_dev/qualify_scans.py before bench adopts it)
+    pallas_scans: bool = False
     # re-jit the step at the smallest capacity ladder size fitting measured
     # instance demand (max_instances stays the ceiling). Binning/sort/
     # reduction costs scale with the STATIC sizes, so this is a large
@@ -147,6 +151,7 @@ class TrainConfig:
             fwd_scan_bf16=self.fwd_scan_bf16,
             grad_pack_in_kernel=(self.grad_pack_in_kernel
                                  and self.grad_bf16_pack),
+            pallas_scans=self.pallas_scans,
             render_median_depth=render_median_depth,
         )
 
