@@ -100,6 +100,38 @@ def _op_exp2(x, y):
     return jnp.exp2(x * 1e-3)
 
 
+def _op_fast_exp_raw(x, y):
+    # Schraudolph: exp(v) ~ bitcast(i32(A*v + B)), A = 2^23/ln2,
+    # B = 127*2^23 - C; ~2.9% max rel error. v kept in [-1, 0].
+    v = -jnp.abs(x) * 1e-3
+    z = v * jnp.float32(12102203.0) + jnp.float32(1064986316.0)
+    return lax.bitcast_convert_type(z.astype(jnp.int32), jnp.float32)
+
+
+def _op_fast_exp_poly(x, y):
+    # floor-split exp2 with a degree-3 polynomial for 2^f (~2e-4 rel):
+    # the "corrected" fast-exp candidate.
+    v = -jnp.abs(x) * 1e-3
+    z = v * jnp.float32(1.4426950408889634)
+    zi = jnp.floor(z)
+    f = z - zi
+    # LSQ-relative degree-3 for 2^f on [0,1): max rel err 1.4e-4
+    p = jnp.float32(0.0778232) * f + jnp.float32(0.22586806)
+    p = p * f + jnp.float32(0.69617239)
+    p = p * f + jnp.float32(0.99986365)
+    e = lax.bitcast_convert_type(
+        (zi.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return e * p
+
+
+def _op_fast_log_raw(x, y):
+    # bitcast log2: log(v) ~ (i32(v) - B)/A * ln2; ~3% abs error on the
+    # mantissa-linear segment
+    v = jnp.abs(x) + 0.5
+    i = lax.bitcast_convert_type(v, jnp.int32).astype(jnp.float32)
+    return (i - jnp.float32(1064986316.0)) * jnp.float32(5.727817e-8)
+
+
 def _op_scan_f32(x, y):
     u = _triu(jnp.float32)
     return lax.dot_general(x, u, (((1,), (0,)), ((), ())),
@@ -127,6 +159,8 @@ OPS = {
     "cmp_and": _op_cmp_and, "min": _op_min, "bf16_mul": _op_bf16_mul,
     "bf16_fma": _op_bf16_fma, "bf16_exp": _op_bf16_exp,
     "bf16_log1p": _op_bf16_log1p, "bf16_where": _op_bf16_where,
+    "fast_exp_raw": _op_fast_exp_raw, "fast_exp_poly": _op_fast_exp_poly,
+    "fast_log_raw": _op_fast_log_raw,
     "scan_matmul_f32": _op_scan_f32, "scan_matmul_bf16": _op_scan_bf16,
 }
 
