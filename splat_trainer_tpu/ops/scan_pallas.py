@@ -31,13 +31,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# block = ROWS x LANES elements. Bigger blocks amortize the sequential
-# grid's per-step latency (measured ~16 us/step at ROWS=256 on the axon
-# chip — 88 steps cost 1.4 ms at 2.9M; the same scan at ROWS=1024 runs
-# 22 steps). The add path's row-offset contraction materializes a
-# (ROWS, ROWS) f32 triangular mask (4 MB at 1024) — inside the VMEM
-# budget next to the 512 KB block buffers.
-ROWS = int(os.environ.get("SPLAT_SCAN_ROWS", "1024"))
+# block = ROWS x LANES elements. 256 is the qualified size: ROWS=512 and
+# 1024 both HANG the axon remote compile helper (>15 min, no XLA output —
+# the (ROWS, ROWS) triangular row-offset contraction is the suspect), while
+# 256 compiles and passes the full qualification sweep
+# (runs/scan_qualification.json; measured 1.4-1.6 ms vs XLA's 1.9-2.2 ms
+# at 2.9M elements).
+ROWS = int(os.environ.get("SPLAT_SCAN_ROWS", "256"))
 BLOCK = ROWS * LANES
 
 
