@@ -549,6 +549,21 @@ def main():
                     continue
                 try_measure(f"final: {best[0]} + {knob}={not cur}", cand)
                 best = pick_best(best)
+            # chunk_size 256 + tiles_per_block 16 at the END config: the r3
+            # chunk-256 negative was measured under f32 scans (4x MXU MACs);
+            # with bf16 scans adopted the per-chunk fixed overhead vs
+            # matmul-cost balance shifts, so the halved chunk count gets a
+            # fresh shot (lossless: chunking is an association choice).
+            for label, repl in (
+                    ("chunk256", dict(chunk_size=256)),
+                    ("tpb16", dict(tiles_per_block=16))):
+                if any(getattr(best[1], k) == v for k, v in repl.items()):
+                    continue
+                cand = dataclasses.replace(best[1], **repl)
+                if any(r[1] == cand for r in ab_table):
+                    continue
+                try_measure(f"final: {best[0]} + {label}", cand)
+                best = pick_best(best)
             if best[1] is not rcfg:
                 print(f"# tune: adopting {best[0]}")
             rcfg = best[1]

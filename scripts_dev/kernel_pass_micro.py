@@ -171,11 +171,11 @@ def make_kernel(op_name, reps):
     def kernel(x_ref, o_ref):
         def body(c, acc):
             base = x_ref[0:8, :]                     # (8, K) VMEM rows
-            x = jnp.broadcast_to(base[0:1, :], (P, K)) + acc[:, 0:K]
+            x = jnp.broadcast_to(base[0:1, :], (P, K)) + acc
             y = jnp.broadcast_to(base[1:2, :], (P, K))
             for _ in range(reps):
                 x = op(x, y)
-            return acc.at[:, 0:K].set(x * 1e-6)
+            return x * 1e-6
 
         acc = jnp.zeros((P, K), jnp.float32)
         acc = lax.fori_loop(0, CHUNKS, body, acc)
@@ -212,8 +212,13 @@ def main():
           f"chunks={CHUNKS}x{GRID})", flush=True)
     total = GRID * CHUNKS
     for name in OPS:
-        t1 = run(name, 1)
-        t9 = run(name, 9)
+        try:
+            t1 = run(name, 1)
+            t9 = run(name, 9)
+        except Exception as e:
+            print(f"{name:18s} FAILED: {str(e).splitlines()[0][:90]}",
+                  flush=True)
+            continue
         per_pass = (t9 - t1) / 8 / total
         print(f"{name:18s} base {t1*1e3:7.2f} ms  +8 reps {t9*1e3:7.2f} ms "
               f"-> {per_pass*1e9:7.1f} ns per (P,K) pass "
