@@ -554,7 +554,13 @@ def main():
             # with bf16 scans adopted the per-chunk fixed overhead vs
             # matmul-cost balance shifts, so the halved chunk count gets a
             # fresh shot (lossless: chunking is an association choice).
+            # exit_bands: per-band early exit (threshold-bounded drop, the
+            # SAME approximation class as the tile-level exit the kernels
+            # always had — parity-tested vs the dense oracle at unchanged
+            # tolerances, so it rides the lossless probe list)
             for label, repl in (
+                    ("bands4", dict(exit_bands=4)),
+                    ("bands8", dict(exit_bands=8)),
                     ("chunk256", dict(chunk_size=256)),
                     ("tpb16", dict(tiles_per_block=16))):
                 if any(getattr(best[1], k) == v for k, v in repl.items()):

@@ -43,6 +43,10 @@ def main():
                          "gradient reductions (RasterConfig.bwd_moments)")
     ap.add_argument("--chunk-size", type=int, default=0,
                     help="instances per inner kernel step (multiple of 128)")
+    ap.add_argument("--bands", type=int, default=0,
+                    help="exit_bands (per-band early exit; 0 = config)")
+    ap.add_argument("--pallas-scans", action="store_true",
+                    help="enable RasterConfig.pallas_scans")
     ap.add_argument("--sat", type=int, default=0,
                     help="max_sat_instances (backward saturation "
                          "compaction capacity; 0 = off)")
@@ -85,6 +89,10 @@ def main():
         rcfg = dataclasses.replace(rcfg, chunk_size=args.chunk_size)
     if args.sat:
         rcfg = dataclasses.replace(rcfg, max_sat_instances=args.sat)
+    if args.bands:
+        rcfg = dataclasses.replace(rcfg, exit_bands=args.bands)
+    if args.pallas_scans:
+        rcfg = dataclasses.replace(rcfg, pallas_scans=True)
     pstate = PointState.new_zeros(scene.capacity)
     w, h = (bench.IMAGE_SIZE if args.fallback else camera_table.image_size)
 

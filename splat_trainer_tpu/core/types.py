@@ -233,6 +233,23 @@ class RasterConfig:
     # instance's transmittance contribution, so this one needs an at-scale
     # quality A/B before defaulting on (bench.py A/Bs it; golden-gated).
     fwd_scan_bf16: bool = False
+    # PER-BAND early exit: split each tile's P pixels into this many
+    # independently-exiting row bands inside the compositing kernels.
+    # CUDA rasterizers terminate per PIXEL once transmittance saturates;
+    # our SIMD chunk loop can only exit at the granularity it tracks
+    # saturation, and with one band that is the WHOLE tile — the slowest
+    # pixel (a silhouette crack, a sky lane) keeps all 1024 pixels
+    # computing (measured: sat_demand ~= full stream on the trained
+    # garden scene). With NB bands each (P/NB, K) slab skips its
+    # geometry/scan/contraction work via lax.cond as soon as ITS max
+    # transmittance drops below transmittance_threshold — the same
+    # approximation class as the existing tile-level exit (dropped
+    # contributions are bounded by T <= threshold), and the backward
+    # replays the identical per-band predicate from its own recomputed
+    # transmittance, so banded forward and backward stay exactly
+    # consistent with no metadata channel. 1 = off (bit-identical to the
+    # unbanded kernel); P/NB must be a positive multiple of 8 sublanes.
+    exit_bands: int = 1
     # run the binning pipeline's four load-bearing 1D prefix scans (span
     # offsets, gid cummax fill, cull-survivor renumbering, kept-prefix
     # remap) through the sequential-grid Pallas scan kernel
@@ -253,6 +270,10 @@ class RasterConfig:
     grad_pack_in_kernel: bool = False
 
     def __post_init__(self):
+        assert self.exit_bands >= 1 and \
+            (self.tile_size * self.tile_size) % self.exit_bands == 0 and \
+            ((self.tile_size * self.tile_size) // self.exit_bands) % 8 == 0, \
+            "exit_bands must divide tile_size^2 into >=8-row bands"
         assert self.max_instances % self.chunk_size == 0, \
             "max_instances must be a multiple of chunk_size"
         assert (self.max_sat_instances is None

@@ -156,7 +156,7 @@ def _cumprod_excl(om):
 
 
 def _chunk_geometry(data, px, py, start, end, off,
-                    config: RasterConfig, k: int):
+                    config: RasterConfig, k: int, op_row=None):
     """Shared fwd/bwd per-chunk alpha computation (elementwise path).
 
     data: (16, K) field rows; px/py: (P, 1) with INVALID pixels already
@@ -164,16 +164,20 @@ def _chunk_geometry(data, px, py, start, end, off,
     hugely negative, so alpha masks itself without a (P, K) validity pass.
     The out-of-range lane mask is folded into the (1, K) opacity row for
     the same reason: every (P, K) boolean AND this used to chain is a full
-    VPU pass over the chunk.
+    VPU pass over the chunk. `op_row` supplies a pre-folded opacity row
+    (the banded kernels hoist it out of the per-band branches).
     Returns alpha (P, K) plus reusable intermediates.
     """
     mx, my = data[0:1, :], data[1:2, :]
     ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
-    op = data[5:6, :]
 
-    ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    in_range = (ids >= start) & (ids < end)          # (1, K)
-    op = jnp.where(in_range, op, 0.0)                # (1, K) fold
+    if op_row is not None:
+        op = op_row
+    else:
+        op = data[5:6, :]
+        ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        in_range = (ids >= start) & (ids < end)          # (1, K)
+        op = jnp.where(in_range, op, 0.0)                # (1, K) fold
 
     dx = px - mx            # (P, K)
     dy = py - my
@@ -306,6 +310,9 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
         u_strict = u_strict.astype(jnp.bfloat16)  # exact: entries are 0/1
     npf = jnp.float32(n_points)
 
+    NB = config.exit_bands
+    SB = p // NB
+
     def one_tile(g, t):
         # the instance stream is in SORTED order (ops/tiling.py): tile
         # ranges are NOT chunk-aligned; we read floor-aligned chunk windows
@@ -317,9 +324,13 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
         end = start + counts_ref[t]
         o0 = ostarts_ref[t] // k
         px, py, valid_px = _pixel_coords(t, grid, image_size)
-        ones_p = jnp.ones((1, p), jnp.float32)
+        px_b = [px[b * SB:(b + 1) * SB] for b in range(NB)]
+        py_b = [py[b * SB:(b + 1) * SB] for b in range(NB)]
+        vpx_b = [valid_px[b * SB:(b + 1) * SB] for b in range(NB)]
+        ones_s = jnp.ones((1, SB), jnp.float32)
         if config.kernel_basis:
             basis, bcx, bcy = _tile_basis(t, grid)
+            basis_b = [basis[b * SB:(b + 1) * SB] for b in range(NB)]
         c0, nch = _chunk_bounds(start, end, k)
 
         def inst_copy(i, slot):
@@ -341,8 +352,11 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
             inst_copy(0, 0).start()
 
         def cond(carry):
-            i, T, _rgb, _med = carry
-            return (i < nch) & (jnp.max(T) > config.transmittance_threshold)
+            i, Ts, _rgb, _med = carry
+            tmax = Ts[0] if NB == 1 else jnp.stack(
+                [jnp.max(Tb) for Tb in Ts])
+            return (i < nch) & (jnp.max(tmax)
+                                > config.transmittance_threshold)
 
         def vis_copy(i, slot):
             off = (o0 + i) * k
@@ -356,7 +370,7 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
             return jnp.where(in_range, gid_row, npf)
 
         def body(carry):
-            i, T, rgb, med = carry
+            i, Ts, rgbs, meds = carry
             off = (c0 + i) * k
             slot = lax.rem(i, 2)
 
@@ -367,43 +381,79 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
                 inst_copy(i + 1, 1 - slot).start()
 
             data = inst_buf[slot]
-            if config.kernel_basis:
-                alpha, _rows = _chunk_geometry_basis(
-                    data, basis, bcx, bcy, start, end, off, valid_px,
-                    config, k)
-            else:
-                alpha, _expp, _dx, _dy, _con = _chunk_geometry(
-                    data, px, py, start, end, off, config, k)
-
-            # transmittance prefix product: T_excl_j = T * prod_{i<j}(1-a_i);
-            # a <= alpha_clamp < 1 (strategy per RasterConfig.cumprod_scan)
-            if config.cumprod_scan:
-                omf = 1.0 - alpha
-                T_excl = T * _cumprod_excl(omf)           # (P, K)
-                T_last = T_excl[:, k - 1:k] * omf[:, k - 1:k]
-            else:
-                logom = jnp.log1p(-alpha)
-                cumlog_excl = _cumsum_excl(logom, u_strict)
-                T_excl = T * jnp.exp(cumlog_excl)         # (P, K)
-                T_last = T * jnp.exp(cumlog_excl[:, k - 1:k]
-                                     + logom[:, k - 1:k])
-            w = alpha * T_excl
-
             col = data[6:9, :]                            # (3, K)
-            rgb = rgb + lax.dot_general(
-                col, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            # (1, K) opacity fold shared by every band
+            ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            in_range = (ids >= start) & (ids < end)
+            op_row = jnp.where(in_range, data[5:6, :], 0.0)
 
-            if config.render_median_depth:
-                # median-depth channel: only the interactive/eval renders
-                # ask for it — the training step skips these ~4 (P, K)
-                # passes + contraction per chunk
-                T_incl = T_excl * (1.0 - alpha)
-                crossed = ((T_incl <= 0.5) & (T_excl > 0.5)
-                           ).astype(jnp.float32)
-                med = med + lax.dot_general(
-                    data[9:10, :], crossed, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (1, P)
+            def band_step(b, Tb):
+                """Composite one band's (S, K) slab; returns the band's
+                updated transmittance + rgb/vis/median contributions."""
+                if config.kernel_basis:
+                    alpha, _rows = _chunk_geometry_basis(
+                        data, basis_b[b], bcx, bcy, start, end, off,
+                        vpx_b[b], config, k)
+                else:
+                    alpha, _expp, _dx, _dy, _con = _chunk_geometry(
+                        data, px_b[b], py_b[b], start, end, off, config, k,
+                        op_row=op_row)
+
+                # transmittance prefix product: T_excl_j = T*prod_{i<j}(1-a)
+                if config.cumprod_scan:
+                    omf = 1.0 - alpha
+                    T_excl = Tb * _cumprod_excl(omf)      # (S, K)
+                    T_last = T_excl[:, k - 1:k] * omf[:, k - 1:k]
+                else:
+                    logom = jnp.log1p(-alpha)
+                    cumlog_excl = _cumsum_excl(logom, u_strict)
+                    T_excl = Tb * jnp.exp(cumlog_excl)    # (S, K)
+                    T_last = Tb * jnp.exp(cumlog_excl[:, k - 1:k]
+                                          + logom[:, k - 1:k])
+                w = alpha * T_excl
+
+                rgb_c = lax.dot_general(
+                    col, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (3, S)
+
+                if config.render_median_depth:
+                    # median-depth channel: only interactive/eval renders
+                    T_incl = T_excl * (1.0 - alpha)
+                    crossed = ((T_incl <= 0.5) & (T_excl > 0.5)
+                               ).astype(jnp.float32)
+                    med_c = lax.dot_general(
+                        data[9:10, :], crossed, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (1, S)
+                else:
+                    med_c = jnp.zeros((1, SB), jnp.float32)
+
+                # per-band row sum rides the MXU ((1, S) x (S, K))
+                vis_c = lax.dot_general(
+                    ones_s, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (1, K)
+                return T_last, rgb_c, vis_c, med_c
+
+            new_T, new_rgb, new_med = [], [], []
+            vis_row = None
+            for b in range(NB):
+                if NB == 1:
+                    T_last, rgb_c, vis_c, med_c = band_step(b, Ts[b])
+                else:
+                    # a DEAD band (max T at/below the exit threshold) skips
+                    # its whole slab at runtime; dropped contributions are
+                    # bounded by T <= threshold (same approximation class
+                    # as the tile-level exit)
+                    T_last, rgb_c, vis_c, med_c = lax.cond(
+                        jnp.max(Ts[b]) > config.transmittance_threshold,
+                        lambda Tb, b=b: band_step(b, Tb),
+                        lambda Tb: (Tb, jnp.zeros((3, SB), jnp.float32),
+                                    jnp.zeros((1, k), jnp.float32),
+                                    jnp.zeros((1, SB), jnp.float32)),
+                        Ts[b])
+                new_T.append(T_last)
+                new_rgb.append(rgbs[b] + rgb_c)
+                new_med.append(meds[b] + med_c)
+                vis_row = vis_c if vis_row is None else vis_row + vis_c
 
             # per-instance visibility + its gid sort key (field row 10):
             # pure double-buffered write into this tile's exclusive output
@@ -412,22 +462,23 @@ def _fwd_kernel(grid: TileGrid, image_size, config: RasterConfig, n_points,
             def _():
                 vis_copy(i - 2, slot).wait()
 
-            # row sum on the MXU in BOTH paths: the VPU is the kernel's
-            # bottleneck, and a (1, P) x (P, K) contraction rides the MXU
-            # for the cost of issuing one matmul
-            vis_buf[slot, 0:1] = lax.dot_general(
-                ones_p, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            vis_buf[slot, 0:1] = vis_row
             vis_buf[slot, 1:2] = key_row_of(data[10:11, :], off)
             vis_copy(i, slot).start()
 
-            return i + 1, T_last, rgb, med
+            return i + 1, tuple(new_T), tuple(new_rgb), tuple(new_med)
 
-        T0 = jnp.ones((p, 1), jnp.float32)
-        rgb0 = jnp.zeros((3, p), jnp.float32)
-        med0 = jnp.zeros((1, p), jnp.float32)
-        i_end, T, rgb, med = lax.while_loop(
+        T0 = tuple(jnp.ones((SB, 1), jnp.float32) for _ in range(NB))
+        rgb0 = tuple(jnp.zeros((3, SB), jnp.float32) for _ in range(NB))
+        med0 = tuple(jnp.zeros((1, SB), jnp.float32) for _ in range(NB))
+        i_end, Ts, rgbs, meds = lax.while_loop(
             cond, body, (jnp.int32(0), T0, rgb0, med0))
+        T = (Ts[0] if NB == 1
+             else jnp.concatenate(list(Ts), axis=0))      # (P, 1)
+        rgb = (rgbs[0] if NB == 1
+               else jnp.concatenate(list(rgbs), axis=1))  # (3, P)
+        med = (meds[0] if NB == 1
+               else jnp.concatenate(list(meds), axis=1))  # (1, P)
 
         # discard the in-flight full prefetch if the loop exited early
         @pl.when(i_end < nch)
@@ -590,6 +641,9 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
     if bf16:
         u_strict = u_strict.astype(jnp.bfloat16)  # exact: entries are 0/1
 
+    NB = config.exit_bands
+    SB = p // NB
+
     def one_tile(bg, t):
         # chunk-aligned ranges: slabs exclusively owned, pure writes,
         # parallel grid over tile blocks
@@ -597,13 +651,18 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         end = start + counts_ref[t]
         c0_sat = sat_starts_ref[t] // k
         px, py, valid_px = _pixel_coords(t, grid, image_size)
+        px_b = [px[b * SB:(b + 1) * SB] for b in range(NB)]
+        py_b = [py[b * SB:(b + 1) * SB] for b in range(NB)]
+        vpx_b = [valid_px[b * SB:(b + 1) * SB] for b in range(NB)]
         moments = config.kernel_basis or config.bwd_moments
         if config.kernel_basis:
             basis, bcx, bcy = _tile_basis(t, grid)
+            basis_b = [basis[b * SB:(b + 1) * SB] for b in range(NB)]
         if moments:
             if not config.kernel_basis:
                 _, bcx, bcy = _tile_basis(t, grid)
             basis_t = _tile_basis_t(t, grid)
+            basis_t_b = [basis_t[:, b * SB:(b + 1) * SB] for b in range(NB)]
         c0, nch = _chunk_bounds(start, end, k)
 
         def inst_copy(i, slot):
@@ -635,19 +694,24 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
         gmag = gmag_row.reshape(p, 1)
         if moments:
             gp = jnp.concatenate([g, gmag_row], axis=0)             # (4, P)
+        g_b = [g[:, b * SB:(b + 1) * SB] for b in range(NB)]
+        F2_b = [F2[b * SB:(b + 1) * SB] for b in range(NB)]
+        gmag_b = [gmag[b * SB:(b + 1) * SB] for b in range(NB)]
+        if moments:
+            gp_b = [gp[:, b * SB:(b + 1) * SB] for b in range(NB)]
 
         def cond(carry):
-            i, T, _S = carry
-            del T
+            i, _Ts, _Ss = carry
             # the compacted stream's layout REQUIRES one key row per
             # consumed chunk (a skipped chunk would leave zero-keyed rows
             # that misalign every reduction segment) — and counts are
             # already truncated to the forward's early-exit point, so there
-            # is nothing left for a T-threshold early exit to skip
+            # is nothing left for a T-threshold early exit to skip. Bands
+            # that died earlier than the tile skip INSIDE the body.
             return i < nch
 
         def body(carry):
-            i, T, S = carry
+            i, Ts, Ss = carry
             off = (c0 + i) * k
             slot = lax.rem(i, 2)
 
@@ -658,57 +722,118 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 inst_copy(i + 1, 1 - slot).start()
 
             data = inst_buf[slot]
-            if config.kernel_basis:
-                alpha, (mxq, myq, ca, cb, cc, op) = _chunk_geometry_basis(
-                    data, basis, bcx, bcy, start, end, off, valid_px,
-                    config, k)
-            else:
-                alpha, expp, dx, dy, (ca, cb, cc) = _chunk_geometry(
-                    data, px, py, start, end, off, config, k)
-
-            om = 1.0 - alpha
-            if config.cumprod_scan:
-                T_excl = T * _cumprod_excl(om)
-                T_last = T_excl[:, k - 1:k] * om[:, k - 1:k]
-            else:
-                logom = jnp.log1p(-alpha)
-                cumlog_excl = _cumsum_excl(logom, u_strict)
-                T_excl = T * jnp.exp(cumlog_excl)
-                T_last = T * jnp.exp(cumlog_excl[:, k - 1:k]
-                                     + logom[:, k - 1:k])
-            w = alpha * T_excl                            # (P, K)
-
             col = data[6:9, :]                            # (3, K)
-            cg = _dot_f32acc(g, col, ((0,), (0,)), bf16)  # (P, K)
-            wcg = w * cg
-            # inclusive prefix on the MXU: exclusive + diagonal term
-            prefix = S + _cumsum_excl(wcg, u_strict) + wcg
-            Sg_after = F2 - prefix  # includes the dTfin/da_k = -Tfin/om term
-
-            safe_om = jnp.maximum(om, 1e-6)
-            d_alpha = T_excl * cg - Sg_after / safe_om
-            # dpow = d_alpha * alpha on the unclamped support; alpha == 0
-            # lanes self-mask through the product (d_alpha is finite there:
-            # om == 1), so the old alpha > 0 where-pass is redundant
-            unclamped = alpha < config.alpha_clamp
-            dpow = jnp.where(unclamped, d_alpha, 0.0) * alpha        # (P, K)
-
-            if moments and not config.kernel_basis:
-                # elementwise geometry, MXU reductions: recover the
-                # tile-local mean offsets the moment corrections need
-                mxq = data[0:1, :] - bcx
-                myq = data[1:2, :] - bcy
-                op = data[5:6, :]
+            ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            in_range = (ids >= start) & (ids < end)
+            op_row = jnp.where(in_range, data[5:6, :], 0.0)
+            # per-instance rows the moment corrections need (shared)
             if moments:
-                # ALL position/conic gradient reductions from ONE MXU
-                # contraction: moments of dpow against the tile-local pixel
-                # polynomial basis. With dx = qx - mxq (both tile-local):
+                mxq_r = data[0:1, :] - bcx
+                myq_r = data[1:2, :] - bcy
+                op_r = data[5:6, :]
+                ca, cb, cc = data[2:3, :], data[3:4, :], data[4:5, :]
+
+            def zeros_contrib():
+                if moments:
+                    return (jnp.zeros((6, k), jnp.float32),
+                            jnp.zeros((4, k), jnp.float32))
+                return tuple(jnp.zeros((1, k), jnp.float32)
+                             for _ in range(6)) + (
+                    jnp.zeros((3, k), jnp.float32),
+                    jnp.zeros((1, k), jnp.float32))
+
+            def band_grad(b, Tb, Sb):
+                """One band's (SB, K) backward slab -> (T_last, S_last,
+                additive reduction contributions)."""
+                if config.kernel_basis:
+                    alpha, (mxq, myq, ca_, cb_, cc_, op_) = \
+                        _chunk_geometry_basis(
+                            data, basis_b[b], bcx, bcy, start, end, off,
+                            vpx_b[b], config, k)
+                else:
+                    alpha, expp, dx, dy, (ca_, cb_, cc_) = _chunk_geometry(
+                        data, px_b[b], py_b[b], start, end, off, config, k,
+                        op_row=op_row)
+
+                om = 1.0 - alpha
+                if config.cumprod_scan:
+                    T_excl = Tb * _cumprod_excl(om)
+                    T_last = T_excl[:, k - 1:k] * om[:, k - 1:k]
+                else:
+                    logom = jnp.log1p(-alpha)
+                    cumlog_excl = _cumsum_excl(logom, u_strict)
+                    T_excl = Tb * jnp.exp(cumlog_excl)
+                    T_last = Tb * jnp.exp(cumlog_excl[:, k - 1:k]
+                                          + logom[:, k - 1:k])
+                w = alpha * T_excl                        # (SB, K)
+
+                cg = _dot_f32acc(g_b[b], col, ((0,), (0,)), bf16)
+                wcg = w * cg
+                # inclusive prefix on the MXU: exclusive + diagonal term
+                prefix = Sb + _cumsum_excl(wcg, u_strict) + wcg
+                Sg_after = F2_b[b] - prefix   # incl. dTfin/da_k = -Tfin/om
+
+                safe_om = jnp.maximum(om, 1e-6)
+                d_alpha = T_excl * cg - Sg_after / safe_om
+                # dpow = d_alpha * alpha on the unclamped support;
+                # alpha == 0 lanes self-mask through the product
+                unclamped = alpha < config.alpha_clamp
+                dpow = jnp.where(unclamped, d_alpha, 0.0) * alpha
+
+                if moments:
+                    # moments of dpow against this band's pixel basis; the
+                    # (1, K) corrections happen ONCE after the band sum
+                    m = _dot_f32acc(basis_t_b[b], dpow, ((1,), (0,)), bf16)
+                    gw = _dot_f32acc(gp_b[b], w, ((1,), (0,)), bf16)
+                    contrib = (m, gw)
+                else:
+                    Gm = jnp.where(alpha > 0.0, expp, 0.0)
+                    d_al_u = jnp.where(unclamped, d_alpha, 0.0)
+                    contrib = (
+                        jnp.sum(d_al_u * Gm, axis=0, keepdims=True),
+                        jnp.sum(dpow * (ca_ * dx + cb_ * dy), axis=0,
+                                keepdims=True),
+                        jnp.sum(dpow * (cc_ * dy + cb_ * dx), axis=0,
+                                keepdims=True),
+                        jnp.sum(-0.5 * dpow * dx * dx, axis=0,
+                                keepdims=True),
+                        jnp.sum(-dpow * dx * dy, axis=0, keepdims=True),
+                        jnp.sum(-0.5 * dpow * dy * dy, axis=0,
+                                keepdims=True),
+                        _dot_f32acc(g_b[b], w, ((1,), (0,)), bf16),
+                        jnp.sum(w * gmag_b[b], axis=0, keepdims=True),
+                    )
+                return T_last, prefix[:, k - 1:k], contrib
+
+            new_T, new_S = [], []
+            acc = None
+            for b in range(NB):
+                if NB == 1:
+                    T_last, S_last, contrib = band_grad(b, Ts[b], Ss[b])
+                else:
+                    # band died in the forward at the same chunk (identical
+                    # replayed T sequence + predicate): its instances have
+                    # exactly zero gradient, so the skip is exact
+                    T_last, S_last, contrib = lax.cond(
+                        jnp.max(Ts[b]) > config.transmittance_threshold,
+                        lambda Tb, Sb, b=b: band_grad(b, Tb, Sb),
+                        lambda Tb, Sb: (Tb, Sb, zeros_contrib()),
+                        Ts[b], Ss[b])
+                new_T.append(T_last)
+                new_S.append(S_last)
+                acc = contrib if acc is None else jax.tree_util.tree_map(
+                    lambda a, c: a + c, acc, contrib)
+
+            if moments:
+                # ALL position/conic gradient reductions from the summed
+                # moments of dpow against the tile-local pixel polynomial
+                # basis. With dx = qx - mxq (both tile-local):
                 #   sum dpow*dx    = m_qx  - mxq*m_1
-                #   sum dpow*dx^2  = m_qxx - 2 mxq m_qx + mxq^2 m_1   (etc.)
+                #   sum dpow*dx^2  = m_qxx - 2 mxq m_qx + mxq^2 m_1  (etc.)
                 # and d_opacity = m_1/op because dpow/op = d_al_u * expp on
-                # the unclamped support (alpha = op*expp there; both sides
-                # vanish elsewhere).
-                m = _dot_f32acc(basis_t, dpow, ((1,), (0,)), bf16)
+                # the unclamped support.
+                m, gw = acc
+                mxq, myq, op = mxq_r, myq_r, op_r
                 m1, mqx, mqy = m[0:1], m[1:2], m[2:3]
                 mqxx, mqxy, mqyy = m[3:4], m[4:5], m[5:6]
                 sdx = mqx - mxq * m1
@@ -722,23 +847,13 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 dcb = -sdxy
                 dcc = -0.5 * sdyy
                 dop = m1 / jnp.maximum(op, 1e-12)
-                # color gradient + prune heuristic share one contraction
-                gw = _dot_f32acc(gp, w, ((1,), (0,)), bf16)
                 dcol = gw[0:3]                                       # (3, K)
                 prune = gw[3:4]
             else:
-                Gm = jnp.where(alpha > 0.0, expp, 0.0)
-                d_al_u = jnp.where(unclamped, d_alpha, 0.0)
-                dop = jnp.sum(d_al_u * Gm, axis=0, keepdims=True)    # (1, K)
-                dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=0,
-                              keepdims=True)
-                dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=0,
-                              keepdims=True)
-                dca = jnp.sum(-0.5 * dpow * dx * dx, axis=0, keepdims=True)
-                dcb = jnp.sum(-dpow * dx * dy, axis=0, keepdims=True)
-                dcc = jnp.sum(-0.5 * dpow * dy * dy, axis=0, keepdims=True)
-                dcol = _dot_f32acc(g, w, ((1,), (0,)), bf16)
-                prune = jnp.sum(w * gmag, axis=0, keepdims=True)
+                # band_grad already produced each band's (1, K) reduction
+                # partials (elementwise geometry path); the sum over bands
+                # is the full-tile reduction
+                (dop, dmx, dmy, dca, dcb, dcc, dcol, prune) = acc
 
             # pack the gradient slab; the slab is exclusively ours, so this
             # is a pure double-buffered write (wait for this slot's i-2
@@ -749,8 +864,6 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
 
             # the gid sort key: gaussian id (packed row 10 of the
             # instance matrix) for in-range slots, n_points for padding
-            ids = off + lax.broadcasted_iota(jnp.int32, (1, k), 1)
-            in_range = (ids >= start) & (ids < end)
             key_row = jnp.where(in_range, data[10:11, :],
                                 jnp.float32(n_points))
             if config.grad_pack_in_kernel:
@@ -776,10 +889,10 @@ def _bwd_kernel(grid: TileGrid, image_size, config: RasterConfig,
                 grad_buf[slot, 11:16, :] = jnp.zeros((5, k), jnp.float32)
             grad_copy(i, slot).start()
 
-            return i + 1, T_last, prefix[:, k - 1:k]
+            return i + 1, tuple(new_T), tuple(new_S)
 
-        T0 = jnp.ones((p, 1), jnp.float32)
-        S0 = jnp.zeros((p, 1), jnp.float32)
+        T0 = tuple(jnp.ones((SB, 1), jnp.float32) for _ in range(NB))
+        S0 = tuple(jnp.zeros((SB, 1), jnp.float32) for _ in range(NB))
         i_end, _T, _S = lax.while_loop(cond, body, (jnp.int32(0), T0, S0))
 
         @pl.when(i_end < nch)

@@ -98,6 +98,9 @@ class TrainConfig:
     # pair-pack backward gradients inside the kernel (RasterConfig.
     # grad_pack_in_kernel; bitwise-identical to grad_bf16_pack's result)
     grad_pack_in_kernel: bool = False
+    # per-band early exit inside the compositing kernels
+    # (RasterConfig.exit_bands; 1 = whole-tile exit)
+    exit_bands: int = 1
     # binning prefix scans via the sequential-grid Pallas kernel
     # (RasterConfig.pallas_scans; exact — chip-qualified by
     # scripts_dev/qualify_scans.py before bench adopts it)
@@ -152,6 +155,7 @@ class TrainConfig:
             grad_pack_in_kernel=(self.grad_pack_in_kernel
                                  and self.grad_bf16_pack),
             pallas_scans=self.pallas_scans,
+            exit_bands=self.exit_bands,
             render_median_depth=render_median_depth,
         )
 

@@ -357,3 +357,52 @@ def test_bwd_moments_parity():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, atol=1e-4 * scale, err_msg=name)
+
+
+@pytest.mark.parametrize("exit_bands", [2, 4])
+def test_exit_bands_forward_parity(exit_bands):
+    # banded early exit drops only contributions bounded by
+    # T <= transmittance_threshold — same approximation class as the
+    # tile-level exit, so the dense-oracle tolerance is unchanged
+    g, cam, config = setup(n=150, seed=1)
+    r_dense = render_with("dense", g, cam, config)
+    r_band = render_with("pallas", g, cam,
+                         dict(config, exit_bands=exit_bands))
+    np.testing.assert_allclose(r_band.image, r_dense.image, atol=3e-4)
+    np.testing.assert_allclose(r_band.alpha, r_dense.alpha, atol=3e-4)
+    np.testing.assert_allclose(
+        r_band.points.visibility, r_dense.points.visibility, atol=3e-4)
+    np.testing.assert_allclose(
+        r_band.median_ndc_image, r_dense.median_ndc_image, atol=1e-4)
+
+
+def test_exit_bands_backward_parity():
+    # gradients of the banded kernel vs the dense oracle; the backward
+    # replays the identical band-death predicate, so banded fwd/bwd are
+    # mutually consistent and oracle-close
+    g, cam, config = setup(n=120, seed=3, grad_bf16_pack=False)
+    gd = loss_and_grads("dense", g, cam, config)
+    gb = loss_and_grads("pallas", g, cam, dict(config, exit_bands=4))
+    names = ["color", "position", "log_scaling", "alpha_logit", "heuristics"]
+    for name, a, b in zip(names, gd, gb):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale, err_msg=name)
+
+
+def test_exit_bands_with_saturation_and_moments():
+    # the production stack: banded exit + saturation compaction +
+    # moments reductions + kernel-side bf16 pack, against the unbanded
+    # pallas kernel at the same config (band-dropped contributions are
+    # the only difference; opaque scene saturates fast)
+    g, cam, config = setup(n=150, seed=7, grad_bf16_pack=True,
+                           bwd_moments=True, max_sat_instances=1024,
+                           grad_pack_in_kernel=True)
+    g = g.replace(alpha_logit=g.alpha_logit + 4.0)  # opaque -> saturation
+    g1 = loss_and_grads("pallas", g, cam, config)
+    g4 = loss_and_grads("pallas", g, cam, dict(config, exit_bands=4))
+    for name, a, b in zip(["color", "position", "log_scaling",
+                           "alpha_logit", "heuristics"], g1, g4):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale, err_msg=name)
