@@ -101,6 +101,11 @@ class TrainConfig:
     # per-band early exit inside the compositing kernels
     # (RasterConfig.exit_bands; 1 = whole-tile exit)
     exit_bands: int = 1
+    # per-band/tile exit threshold (RasterConfig.transmittance_threshold).
+    # 1e-4 is the 3DGS-standard termination point; raising it trades a
+    # bounded per-pixel color error for earlier exits — quality-A/B before
+    # changing (runs/ab_* protocol)
+    transmittance_threshold: float = 1e-4
     # binning prefix scans via the sequential-grid Pallas kernel
     # (RasterConfig.pallas_scans; exact — chip-qualified by
     # scripts_dev/qualify_scans.py before bench adopts it)
@@ -156,6 +161,7 @@ class TrainConfig:
                                  and self.grad_bf16_pack),
             pallas_scans=self.pallas_scans,
             exit_bands=self.exit_bands,
+            transmittance_threshold=self.transmittance_threshold,
             render_median_depth=render_median_depth,
         )
 
