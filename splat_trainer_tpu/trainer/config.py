@@ -89,12 +89,15 @@ class TrainConfig:
     bwd_moments: bool = True
     # tiles composited per Pallas grid step (RasterConfig.tiles_per_block)
     tiles_per_block: int = 8
-    # bf16 inputs to the backward kernel's MXU contractions
-    # (RasterConfig.bwd_scan_bf16; gradient-only — golden-gated + garden A/B)
-    bwd_scan_bf16: bool = False
-    # bf16 inputs to the forward transmittance scan (RasterConfig.
-    # fwd_scan_bf16; touches the rendered image — garden A/B before enabling)
-    fwd_scan_bf16: bool = False
+    # bf16 inputs to the kernels' MXU prefix-scan contractions
+    # (RasterConfig.bwd_scan_bf16 / fwd_scan_bf16). Default ON since the
+    # garden-scale quality A/B completed: runs/ab_scan_bf16 (both knobs,
+    # 2k steps resumed from the m3_r3 final checkpoint) ended -0.043 dB
+    # val PSNR vs runs/ab_control on the identical protocol — inside the
+    # 0.15 dB gate — for a measured -46 ms/step at garden scale
+    # (RESULTS.md round-4 section; bench.py applies the same gate).
+    bwd_scan_bf16: bool = True
+    fwd_scan_bf16: bool = True
     # pair-pack backward gradients inside the kernel (RasterConfig.
     # grad_pack_in_kernel; bitwise-identical to grad_bf16_pack's result)
     grad_pack_in_kernel: bool = False
