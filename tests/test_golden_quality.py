@@ -39,7 +39,7 @@ from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
 # path; the direct bf16-vs-f32 comparison at matched recipe lives in
 # tests/test_rasterize_pallas.py::test_grad_bf16_pack_parity.
 GOLDEN_VAL_PSNR = {
-    True: {100: 16.88, 200: 21.29, 300: 22.15, 400: 22.26, 500: 22.75},
+    True: {100: 16.75, 200: 21.73, 300: 21.76, 400: 21.83, 500: 22.07},
     False: {100: 18.17, 200: 22.35},
 }
 TOLERANCE_DB = 0.4
@@ -73,6 +73,11 @@ def test_golden_psnr_trajectory(tmp_path, monkeypatch, grad_bf16_pack):
         target_points=512,
         raster_backend="pallas",   # interpret mode on CPU — the TPU path
         grad_bf16_pack=grad_bf16_pack,
+        # the bf16 arm runs the full TPU default precision stack (which
+        # since the garden quality A/B includes bf16 scan contractions);
+        # the f32 arm pins the all-f32 precision path explicitly
+        bwd_scan_bf16=grad_bf16_pack,
+        fwd_scan_bf16=grad_bf16_pack,
         max_instances=1 << 14,
         chunk_size=16,
         save_output=False,
