@@ -71,11 +71,11 @@ def main():
          "--initial-points", "100000", "--mcmc", "--tensorboard",
          "--save-checkpoints",
          "dataset.num_images=64", "dataset.image_size=[768,512]",
-         "dataset.split_every=8"], budget=2100, min_needed=1200)
+         "dataset.split_every=8"], budget=1800, min_needed=1200)
     run("m4_v4",
         [sys.executable, "-m", "scripts_dev.m4_pose_bilateral",
-         "--arms", "refined_v4", "--fine-steps", "2000"],
-        budget=1500, min_needed=600)
+         "--arms", "refined_v4", "--fine-steps", "800"],
+        budget=1200, min_needed=500)
     print("r4 queue stage 4 done; chip free", flush=True)
 
 
