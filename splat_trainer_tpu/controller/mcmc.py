@@ -31,6 +31,18 @@ class MCMCConfig:
     min_split_px: float = 0.0
     noise_level: VaryingFloat = field(default_factory=lambda: LogDecay(100.0, 0.01))
     max_prune_rate: float = 0.05
+    # Stop relocating after this normalized progress (1.0 = never stop, the
+    # reference behavior). The runs/mcmc_m2 at-scale run (RESULTS.md round
+    # 4) peaked +4.0 dB over the equal-count baseline at mid-training and
+    # then fell ~6 dB below its own peak: relocations every 50 steps to the
+    # END of the schedule keep resetting converged optimizer slots — the
+    # same ending-below-peak failure the Target controller's
+    # target_count_t=0.7 cutoff fixed. Tune <1.0 to give MCMC a refinement
+    # tail too (round-5 pass; default keeps the reference semantics).
+    relocate_stop_t: float = 1.0
+    # Hard cap on the noise amplitude in sigma units (the LogDecay default
+    # is still ~3.8 sigma at t=0.7 on low-opacity points).
+    max_noise_sigma: float = float("inf")
 
     def make_controller(self, start_points: int, target_points: int,
                         progress: Progress) -> "MCMCController":
@@ -107,10 +119,15 @@ class MCMCController:
         self.config = config
 
     def should_densify(self, progress: Progress) -> bool:
-        return progress.step % self.config.prune_interval == 0 and progress.step > 0
+        return (progress.step % self.config.prune_interval == 0
+                and progress.step > 0
+                and progress.t <= self.config.relocate_stop_t)
 
     def noise_level(self, progress: Progress) -> float:
-        return float(eval_varying(self.config.noise_level, progress.t))
+        lvl = float(eval_varying(self.config.noise_level, progress.t))
+        if progress.t > self.config.relocate_stop_t:
+            return 0.0  # refinement tail: no churn at all
+        return min(lvl, self.config.max_noise_sigma)
 
     def state_dict(self) -> dict:
         return {}
