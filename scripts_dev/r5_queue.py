@@ -32,14 +32,19 @@ def run(name, cmd, budget, min_needed):
     if remaining() < min_needed:
         print(f"== {name}: SKIPPED ({remaining():.0f}s left)", flush=True)
         return
+    budget = max(0.0, min(budget, remaining()))
+    if budget < 60:
+        print(f"== {name}: SKIPPED (budget {budget:.0f}s < 60s)", flush=True)
+        return
     print(f"== {name}: starting ({remaining():.0f}s left)", flush=True)
     env = dict(os.environ, TQDM_DISABLE="1")
     with open(f"/tmp/{name}.out", "w") as f:
         try:
-            subprocess.run(cmd, cwd=REPO, stdout=f, env=env,
-                           stderr=subprocess.STDOUT,
-                           timeout=max(60, min(budget, remaining())))
-            print(f"== {name}: done ({remaining():.0f}s left)", flush=True)
+            proc = subprocess.run(cmd, cwd=REPO, stdout=f, env=env,
+                                  stderr=subprocess.STDOUT, timeout=budget)
+            status = "done" if proc.returncode == 0 else \
+                f"FAILED rc={proc.returncode} (see /tmp/{name}.out)"
+            print(f"== {name}: {status} ({remaining():.0f}s left)", flush=True)
         except subprocess.TimeoutExpired:
             print(f"== {name}: TIMEOUT after {budget:.0f}s", flush=True)
 
@@ -52,13 +57,14 @@ def main():
             run(f"prefill_{preset}",
                 [sys.executable, "-m", "scripts_dev.jax_cache_prefill",
                  preset], budget=1200, min_needed=600)
+    # 30k tail first: it is the round's headline deliverable (VERDICT r4 #3)
+    run("m3_30k_tail",
+        [sys.executable, "-m", "splat_trainer_tpu.scripts.checkpoint_tools",
+         "resume", "runs/m3_30k"], budget=9000, min_needed=3000)
     run("m4_v4",
         [sys.executable, "-m", "scripts_dev.m4_pose_bilateral",
          "--arms", "refined_v4", "--fine-steps", "2000"],
         budget=3000, min_needed=1500)
-    run("m3_30k_tail",
-        [sys.executable, "-m", "splat_trainer_tpu.scripts.checkpoint_tools",
-         "resume", "runs/m3_30k"], budget=7200, min_needed=3000)
     run("mcmc_m2_v2",
         [sys.executable, "-m", "splat_trainer_tpu.scripts.train",
          "--dataset-kind", "procedural", "--run-name", "mcmc_m2_v2",

@@ -81,5 +81,21 @@ def write_sh_main(argv=None):
     with_trainer(run, argv, "export SH-distilled gaussians to ply")
 
 
+def main(argv=None):
+    """Subcommand dispatch: `... checkpoint_tools {resume,evaluate,write-sh} ...`.
+
+    A bare invocation (no recognized subcommand) keeps the historical
+    behavior of resuming, so `... checkpoint_tools runs/x` still works.
+    """
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    commands = {"resume": resume_main, "evaluate": evaluate_main,
+                "write-sh": write_sh_main}
+    if argv and argv[0] in commands:
+        commands[argv[0]](argv[1:])
+    else:
+        resume_main(argv)
+
+
 if __name__ == "__main__":
-    resume_main()
+    main()
