@@ -1,8 +1,13 @@
 """Benchmark: full training-step throughput at garden-recipe scale.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (last line),
-plus a per-phase breakdown and occupancy statistics on stderr-adjacent lines
-and in PROFILE.md.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+FIRST (as soon as the incumbent config is measured), then spends any
+remaining budget on per-phase profiling (PROFILE.md) and a pruned
+auto-tune stage, re-printing an updated headline if a knob wins. The
+LAST stdout line is always the current headline, and a SIGTERM (driver
+timeout) makes the process print it and exit 0 — a finite window can no
+longer end the run without a recorded number (VERDICT r4 weak #1:
+BENCH_r04.json rc=124, parsed=null).
 
 Honesty rules (round-2 rework after the round-1 number was challenged):
 - The scene comes from a TRAINED checkpoint under runs/ when one exists
@@ -14,10 +19,13 @@ Honesty rules (round-2 rework after the round-1 number was challenged):
   silent truncation or degenerate occupancy is visible.
 - Per-phase timings (project+bin / forward / forward+backward / ssim /
   full step) are measured with blocking, and written to PROFILE.md.
-- The auto-tune stage only switches between LOSSLESS kernel-variant knobs
-  (tiles_per_block is bit-identical; tile_size changes binning granularity
-  but not compositing semantics). Quality-gated knobs (grad_bf16_pack)
-  are never auto-enabled.
+- The auto-tune stage only switches between LOSSLESS kernel-variant knobs.
+  Quality-gated knobs (grad_bf16_pack, batch_size>1) are never
+  auto-enabled without a recorded garden-scale quality A/B pass.
+- Tune candidates that lost in three consecutive rounds are retired from
+  the default probe set (VERDICT r4 #7): kernel_basis and cumprod_scan
+  (lost r2/r3/r4), exit_bands (295/363 ms vs 242 base, r4), chunk256
+  (157.5 r3, 261.9 r4), tpb16 (243.7 r4), bwd_moments toggle (251.7 r4).
 
 Baseline: taichi-splatting on A100 runs the Mip-NeRF-360 garden recipe
 (1536x1024, ~1M gaussians mid-training) at roughly 12 images/sec
@@ -25,6 +33,8 @@ Baseline: taichi-splatting on A100 runs the Mip-NeRF-360 garden recipe
 the driver's north-star ratio is taken against).
 
 Env knobs (all optional):
+  BENCH_BUDGET_S=2700     global wall-clock budget; tuning stops early so
+                          the headline always lands inside the window
   BENCH_TUNE=0            disable the auto-tune A/B stage
   BENCH_ITERS=30          final chained-loop iterations
   BENCH_AB_ITERS=10       per-candidate chained-loop iterations
@@ -36,6 +46,7 @@ Env knobs (all optional):
 import functools
 import json
 import os
+import signal
 import sys
 import time
 from pathlib import Path
@@ -46,6 +57,14 @@ BASELINE_IMAGES_PER_SEC = 12.0
 IMAGE_SIZE = tuple(
     int(v) for v in os.environ.get("BENCH_IMAGE_SIZE", "1536x1024").split("x"))
 TARGET_POINTS = int(os.environ.get("BENCH_POINTS", 1_000_000))
+
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2700))
+
+
+def budget_left() -> float:
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
 
 # Local ports of the axon PJRT relay (/root/.tpu_init.py). When the relay
 # process dies, ANY device contact (even jax.devices()) blocks forever —
@@ -259,6 +278,16 @@ def main():
             T_camera_world=T, projection=proj,
             near=cams.depth_range[i, 0][None], far=cams.depth_range[i, 1][None]))
 
+    def stacked_batches(bs):
+        """Group the per-camera batches into B-image TrainBatches."""
+        groups = []
+        for g0 in range(0, n_cams - bs + 1, bs):
+            groups.append(jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *batches[g0:g0 + bs]))
+        return groups or [jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *([batches[0]] * bs))]
+
     n_active = int(np.asarray(scene.active).sum())
     hyper = make_hyper(scene_config, cfg, 0.5)
 
@@ -335,246 +364,116 @@ def main():
           f"max_render_instances={rcfg.max_render_instances} "
           f"(demand {demand}, post-cull {instances})")
 
-    # ---- auto-tune: A/B lossless kernel-variant knobs on THIS chip --------
-    # tiles_per_block is bit-identical (tests/test_rasterize_pallas.py);
-    # tile_size only changes binning granularity. Each candidate runs the
-    # chained-step protocol from a fresh copy of the scene; compile failures
-    # (Mosaic shape limits differ from interpret mode) fall back safely.
-    scene0, iters_ab = scene, int(os.environ.get("BENCH_AB_ITERS", 10))
+    # ---- headline plumbing: emit early, re-emit on improvement, always
+    # leave a JSON line as the LAST stdout line (VERDICT r4 #2) -------------
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    garden_class = (w * h >= int(1536 * 1024 * 0.85)
+                    and n_active >= 500_000)
+    _last_result = {}
 
-    def measure(rcfg_v):
-        step_v = jax.jit(functools.partial(
+    def _persist_onchip(result):
+        if jax.default_backend() in ("cpu",):
+            return
+        import datetime
+        import subprocess
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=Path(__file__).parent, capture_output=True,
+                text=True).stdout.strip()
+        except Exception:
+            commit = "unknown"
+        (Path(__file__).parent / "BENCH_LAST_ONCHIP.json").write_text(
+            json.dumps({**result,
+                        "measured_at": datetime.date.today().isoformat(),
+                        "commit": commit,
+                        "note": "see PROFILE.md for the per-phase profile"})
+            + "\n")
+
+    def make_result(dt_per_image, label, bs=1):
+        images_per_sec = 1.0 / dt_per_image
+        result = {
+            "metric": "train_images_per_sec_per_chip",
+            "value": round(images_per_sec, 3),
+            "unit": "images/sec/chip",
+            # workload label: a ratio against the garden-recipe A100
+            # baseline is only honest at garden scale (VERDICT r2 weak #1).
+            "workload": {
+                "image_size": f"{w}x{h}",
+                "active_points": n_active,
+                "batch_size": bs,
+                "scene": ("trained checkpoint" if loaded
+                          else "synthetic fallback"),
+                "garden_class": garden_class,
+            },
+            "config": label,
+            "protocol": f"bench.py chained {iters}-step loop, "
+                        f"{'checkpoint' if loaded else 'fallback'} scene "
+                        f"{w}x{h}, {n_active} active points",
+            "vs_baseline": (round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3)
+                            if garden_class else None),
+        }
+        if not garden_class:
+            result["vs_baseline_note"] = (
+                "workload below garden scale (1536x1024, >=500k points); "
+                "ratio vs the garden-recipe A100 baseline withheld")
+        return result
+
+    def emit(result):
+        _last_result.clear()
+        _last_result.update(result)
+        print(json.dumps(result), flush=True)
+        _persist_onchip(result)
+
+    def _on_term(signum, frame):
+        # driver timeout: leave the current headline as the last line
+        if _last_result:
+            print(json.dumps(_last_result), flush=True)
+            sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    scene0 = scene
+
+    def make_step(rcfg_v):
+        return jax.jit(functools.partial(
             train_step, scene_config=scene_config, raster_config=rcfg_v,
             ssim_levels=3), donate_argnums=(0, 1))
+
+    def measure_full(rcfg_v, n_iters, bs=1):
+        """Chained-step wall-clock at a config: (seconds per IMAGE, metrics)."""
+        step_v = make_step(rcfg_v)
+        bb = batches if bs == 1 else stacked_batches(bs)
         sc = jax.tree_util.tree_map(jnp.copy, scene0)
         ps = PointState.new_zeros(scene0.capacity)
-        sc, ps, m = step_v(sc, ps, batches[0], hyper, key)
+        sc, ps, m = step_v(sc, ps, bb[0], hyper, key)   # compile
         float(np.asarray(m.mse))
-        sc, ps, m = step_v(sc, ps, batches[1 % n_cams], hyper, key)
-        float(np.asarray(m.mse))
-        # TWO chained loops per candidate, best-of-2: single-sample A/Bs
-        # through the relay flip 5-10% calls on noise (VERDICT r2 weak #7);
-        # min-of-reps is the standard noise-floor estimator for wall-clock
-        reps = []
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            for i in range(iters_ab):
-                sc, ps, m = step_v(sc, ps, batches[i % n_cams], hyper, key)
-            # end timing on a forced device->host transfer, NOT
-            # block_until_ready: the axon relay has been observed returning
-            # from block_until_ready before the chained steps complete
-            # (sub-ms "measurements" of a 250 ms step); a host copy of an
-            # output cannot complete early. Finiteness doubles as a check
-            # that the candidate actually computed.
-            mse = float(np.asarray(m.mse))
-            if not np.isfinite(mse):
-                raise RuntimeError(f"non-finite mse {mse} in A/B candidate")
-            reps.append((time.perf_counter() - t0) / iters_ab)
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            sc, ps, m = step_v(sc, ps, bb[i % len(bb)], hyper, key)
+        # sync on a forced host transfer, not block_until_ready: the axon
+        # relay has been observed returning from block_until_ready before
+        # the chained steps complete (sub-ms "measurements" of a 250 ms
+        # step); a host copy of an output cannot complete early.
+        mse = float(np.asarray(m.mse))
+        if not np.isfinite(mse):
+            raise RuntimeError(f"non-finite mse {mse} in measured loop")
+        dt = (time.perf_counter() - t0) / n_iters
+        clipped = int(m.clipped_instances)
         del sc, ps
-        return min(reps)
+        return dt / bs, clipped
 
-    ab_table = []
+    # ---- HEADLINE FIRST: the incumbent (committed-default) config ---------
+    dt_img, clipped_step = measure_full(rcfg, iters)
+    base_label = (f"ts{rcfg.tile_size} tpb{rcfg.tiles_per_block} "
+                  f"k{rcfg.chunk_size} (committed defaults, bucketed)")
+    print(f"# headline: {dt_img*1e3:.2f} ms/image at {base_label} "
+          f"({budget_left():.0f}s budget left)")
+    emit(make_result(dt_img, base_label))
+    best_dt, best_rcfg, best_label, best_bs = dt_img, rcfg, base_label, 1
 
-    def try_measure(name, rcfg_v):
-        try:
-            t = measure(rcfg_v)
-            ab_table.append((name, rcfg_v, t))
-            print(f"# tune {name}: {t*1e3:.2f} ms/step")
-            return t
-        except Exception as e:  # Mosaic compile/shape failures -> skip
-            ab_table.append((name, rcfg_v, None))
-            print(f"# tune {name}: FAILED ({type(e).__name__}: {e})"[:300])
-            return None
-
-    # adoption margin (VERDICT r3 weak #7): a candidate only displaces the
-    # incumbent best when it wins by >=3% — best-of-2 chained loops through
-    # the relay still flip 1-3% calls on noise, and a noise-level greedy
-    # pick must not change a committed default.
-    TUNE_MARGIN = 0.97
-    margin_notes = []
-
-    def pick_best(current):
-        ok = [r for r in ab_table
-              if r[2] is not None and not r[0].startswith("info:")]
-        if not ok:
-            return current
-        cand = min(ok, key=lambda r: r[2])
-        if current is None or current[2] is None or cand is current:
-            return cand
-        if cand[2] <= current[2] * TUNE_MARGIN:
-            return cand
-        if cand[2] < current[2]:
-            note = (f"kept {current[0]} ({current[2]*1e3:.2f} ms) over "
-                    f"{cand[0]} ({cand[2]*1e3:.2f} ms) — win below the 3% "
-                    f"noise margin")
-            if note not in margin_notes:
-                margin_notes.append(note)
-                print(f"# tune margin: {note}")
-        return current
-
-    if os.environ.get("BENCH_TUNE", "1") != "0":
-        try_measure(f"base (ts{rcfg.tile_size}, tpb{rcfg.tiles_per_block})",
-                    rcfg)
-        for tpb in (4, 8):
-            if tpb != rcfg.tiles_per_block:
-                try_measure(f"tpb{tpb}",
-                            dataclasses.replace(rcfg, tiles_per_block=tpb))
-        # basis-matmul kernels (power + gradient moments on the MXU) vs the
-        # direct elementwise path — lossless (same math, matmul association)
-        try_measure(f"kernel_basis={not rcfg.kernel_basis}",
-                    dataclasses.replace(rcfg,
-                                        kernel_basis=not rcfg.kernel_basis))
-        # Hillis-Steele lane cumprod vs log-space MXU transmittance scan
-        try_measure(f"cumprod_scan={not rcfg.cumprod_scan}",
-                    dataclasses.replace(rcfg,
-                                        cumprod_scan=not rcfg.cumprod_scan))
-        best = pick_best(None)
-        if best is not None:
-            # tile_size 32 on top of the best tiles_per_block: fewer
-            # instances (exact cull at coarser tiles) vs 4x pixels/block
-            if rcfg.tile_size == 16:
-                ts32 = dataclasses.replace(
-                    bucketed(dataclasses.replace(
-                        rcfg_base, tile_size=32))[0],
-                    tiles_per_block=best[1].tiles_per_block)
-                try_measure(f"ts32, tpb{ts32.tiles_per_block}", ts32)
-            best = pick_best(best)
-            # re-toggle the kernel-strategy knobs at the winning binning
-            # config (their win/loss flips with occupancy per tile). Only
-            # LOSSLESS knobs here: kernel_basis/cumprod_scan/bwd_moments are
-            # associativity/strategy changes, grad_pack_in_kernel is
-            # bitwise-identical to the outside pack, pallas_scans is an
-            # exact-arithmetic scan kernel (i32-in-f32 < 2^24, chip-qualified
-            # by scripts_dev/qualify_scans.py before bench may adopt it).
-            # The bf16-scan knobs
-            # (bwd AND fwd — r3's "strictly milder" rationale for adopting
-            # bwd unilaterally was flagged by the verdict) only become
-            # adoptable after the garden-scale quality A/B below.
-            def _scans_qualified():
-                import json as _json
-                try:
-                    rec = _json.loads(
-                        (Path(__file__).parent / "runs" /
-                         "scan_qualification.json").read_text())
-                    return bool(rec.get("qualified"))
-                except Exception:
-                    return False
-
-            for knob in ("kernel_basis", "cumprod_scan", "bwd_moments",
-                         "grad_pack_in_kernel", "pallas_scans"):
-                cur = getattr(best[1], knob)
-                if knob == "grad_pack_in_kernel" and not cur \
-                        and not best[1].grad_bf16_pack:
-                    continue  # requires grad_bf16_pack
-                if knob == "pallas_scans" and not cur \
-                        and not _scans_qualified():
-                    print("# tune: pallas_scans skipped (no chip "
-                          "qualification record — run "
-                          "scripts_dev/qualify_scans.py)")
-                    continue
-                cand = dataclasses.replace(best[1], **{knob: not cur})
-                if any(r[1] == cand for r in ab_table):
-                    continue  # already measured this exact config
-                try_measure(f"{best[0]} + {knob}={not cur}", cand)
-                best = pick_best(best)
-            # bf16 scan contractions change numerics (bwd: gradients only;
-            # fwd: the rendered image), so adoption is gated on the
-            # committed garden-scale quality A/B (runs/ab_scan_bf16 resumed
-            # the final m3_r3 checkpoint +2k steps with fwd+bwd scan bf16,
-            # vs runs/ab_control on the identical protocol). If the arm's
-            # final val PSNR is within tolerance of control, both knobs are
-            # adoptable; with no recorded pass they stay info-only.
-            def _quality_ab_pass(arm, tol_db=0.15):
-                import json as _json
-                base = Path(__file__).parent / "runs"
-                try:
-                    ctrl = _json.loads(
-                        (base / "ab_control" / "result.json").read_text())
-                    res = _json.loads(
-                        (base / f"ab_{arm}" / "result.json").read_text())
-                    d = res["val_psnr"] - ctrl["val_psnr"]
-                    print(f"# quality A/B {arm}: val_psnr {res['val_psnr']:.2f}"
-                          f" vs control {ctrl['val_psnr']:.2f} ({d:+.2f} dB)")
-                    return d >= -tol_db
-                except Exception:
-                    return False
-
-            scan_ok = _quality_ab_pass("scan_bf16")
-            tag = ("quality A/B passed" if scan_ok
-                   else "no quality-A/B pass recorded; not adopted")
-            for knob in ("bwd_scan_bf16", "fwd_scan_bf16"):
-                cand = dataclasses.replace(best[1], **{knob: True})
-                if any(r[1] == cand for r in ab_table):
-                    continue
-                try_measure(f"{'' if scan_ok else 'info: '}{knob}=True "
-                            f"({tag})", cand)
-                best = pick_best(best)
-            # saturation compaction (lossless: gradient slabs past the
-            # forward's early exit are exactly zero — parity-tested) at a
-            # demand-bucketed capacity probed on this scene
-            try:
-                from splat_trainer_tpu.models import mlp_scene as _ms
-                mr_b = (best[1].max_render_instances
-                        or best[1].max_instances)
-                probe_cfg = dataclasses.replace(
-                    best[1], max_sat_instances=mr_b)
-
-                def _sat_probe(batch):
-                    cam = CameraParams(
-                        T_camera_world=batch.T_camera_world[0],
-                        projection=batch.projection[0],
-                        near_plane=batch.near[0], far_plane=batch.far[0],
-                        image_size=image_size)
-                    return _ms.render(scene, scene_config, cam,
-                                      batch.image_idx[0],
-                                      probe_cfg).sat_demand
-
-                probe = jax.jit(_sat_probe)
-                sdem = max(int(np.asarray(probe(b))) for b in batches)
-                msat = min(ladder_fit(int(sdem * 1.3), mr_b), mr_b)
-                print(f"# sat probe: demand {sdem} -> capacity {msat}")
-                cand = dataclasses.replace(best[1], max_sat_instances=msat)
-                try_measure(f"{best[0]} + sat{msat}", cand)
-                best = pick_best(best)
-            except Exception as e:
-                print(f"# sat probe FAILED ({type(e).__name__}: {e})"[:300])
-            # final re-toggle: kernel_basis / cumprod_scan were first
-            # measured at an f32-scan config where the MXU was saturated;
-            # their win/loss flips with MXU load, so each gets one more
-            # shot at the end config (greedy-order blind spot)
-            for knob in ("kernel_basis", "cumprod_scan"):
-                cur = getattr(best[1], knob)
-                cand = dataclasses.replace(best[1], **{knob: not cur})
-                if any(r[1] == cand for r in ab_table):
-                    continue
-                try_measure(f"final: {best[0]} + {knob}={not cur}", cand)
-                best = pick_best(best)
-            # chunk_size 256 + tiles_per_block 16 at the END config: the r3
-            # chunk-256 negative was measured under f32 scans (4x MXU MACs);
-            # with bf16 scans adopted the per-chunk fixed overhead vs
-            # matmul-cost balance shifts, so the halved chunk count gets a
-            # fresh shot (lossless: chunking is an association choice).
-            # exit_bands: per-band early exit (threshold-bounded drop, the
-            # SAME approximation class as the tile-level exit the kernels
-            # always had — parity-tested vs the dense oracle at unchanged
-            # tolerances, so it rides the lossless probe list)
-            for label, repl in (
-                    ("bands4", dict(exit_bands=4)),
-                    ("bands8", dict(exit_bands=8)),
-                    ("chunk256", dict(chunk_size=256)),
-                    ("tpb16", dict(tiles_per_block=16))):
-                if any(getattr(best[1], k) == v for k, v in repl.items()):
-                    continue
-                cand = dataclasses.replace(best[1], **repl)
-                if any(r[1] == cand for r in ab_table):
-                    continue
-                try_measure(f"final: {best[0]} + {label}", cand)
-                best = pick_best(best)
-            if best[1] is not rcfg:
-                print(f"# tune: adopting {best[0]}")
-            rcfg = best[1]
-
-    # ---- occupancy at the chosen config ------------------------------------
+    # ---- occupancy at the incumbent config --------------------------------
     binning_bucketed = jax.jit(binning_stats_with(rcfg))
     g2d, grid, inst = binning_bucketed(batches[0])
     counts = np.asarray(inst.tile_counts)
@@ -590,108 +489,259 @@ def main():
     }
     print("# occupancy:", json.dumps(occ))
 
-    # ---- per-phase timings (all at the chosen config) ----------------------
-    step = jax.jit(functools.partial(
-        train_step, scene_config=scene_config, raster_config=rcfg,
-        ssim_levels=3), donate_argnums=(0, 1))
-    grad_fn = jax.jit(functools.partial(
-        batch_gradients, scene_config=scene_config, raster_config=rcfg,
-        ssim_levels=3))
+    # ---- per-phase timings + PROFILE.md (budget-gated) --------------------
+    phases = {"full_step": dt_img * 1}
+    rows = []
+    if budget_left() > 420:
+        grad_fn = jax.jit(functools.partial(
+            batch_gradients, scene_config=scene_config, raster_config=rcfg,
+            ssim_levels=3))
 
-    def render_only(batch):
-        cam = CameraParams(
-            T_camera_world=batch.T_camera_world[0],
-            projection=batch.projection[0], near_plane=batch.near[0],
-            far_plane=batch.far[0], image_size=image_size)
-        from splat_trainer_tpu.models import mlp_scene as ms
-        return ms.render(scene, scene_config, cam, batch.image_idx[0], rcfg).image
+        def render_only(batch):
+            cam = CameraParams(
+                T_camera_world=batch.T_camera_world[0],
+                projection=batch.projection[0], near_plane=batch.near[0],
+                far_plane=batch.far[0], image_size=image_size)
+            from splat_trainer_tpu.models import mlp_scene as ms
+            return ms.render(scene, scene_config, cam, batch.image_idx[0],
+                             rcfg).image
 
-    render_jit = jax.jit(render_only)
-    img_a = render_jit(batches[0])
-    img_b = (batches[0].images[0].astype(jnp.float32) / 255.0)
-    ssim_grad = jax.jit(jax.grad(
-        lambda x: multiscale_ssim_loss(x, img_b, 3)[0]))
+        render_jit = jax.jit(render_only)
+        img_a = render_jit(batches[0])
+        img_b = (batches[0].images[0].astype(jnp.float32) / 255.0)
+        ssim_grad = jax.jit(jax.grad(
+            lambda x: multiscale_ssim_loss(x, img_b, 3)[0]))
 
-    phases = {}
-    phases["project_bin"] = timeit(
-        lambda: binning_bucketed(batches[0])[2].tile_starts)
-    phases["render_fwd"] = timeit(lambda: render_jit(batches[0]))
-    phases["ssim_fwd_bwd"] = timeit(lambda: ssim_grad(img_a))
-    phases["grads_fwd_bwd"] = timeit(lambda: grad_fn(scene, batches[0], hyper).heur)
+        phases["project_bin"] = timeit(
+            lambda: binning_bucketed(batches[0])[2].tile_starts)
+        phases["render_fwd"] = timeit(lambda: render_jit(batches[0]))
+        phases["ssim_fwd_bwd"] = timeit(lambda: ssim_grad(img_a))
+        phases["grads_fwd_bwd"] = timeit(
+            lambda: grad_fn(scene, batches[0], hyper).heur)
+        print("# phases (ms):", json.dumps(
+            {k: round(v * 1e3, 3) for k, v in phases.items()}))
 
-    # ---- full step throughput over rotating cameras -----------------------
-    sc = jax.tree_util.tree_map(jnp.copy, scene0)
-    ps = PointState.new_zeros(scene0.capacity)
-    sc, ps, m = step(sc, ps, batches[0], hyper, key)   # compile
-    float(np.asarray(m.mse))
-    iters = int(os.environ.get("BENCH_ITERS", 30))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        sc, ps, m = step(sc, ps, batches[i % n_cams], hyper, key)
-    # sync on a forced host transfer, not block_until_ready (see measure())
-    float(np.asarray(m.mse))
-    dt = (time.perf_counter() - t0) / iters
-    phases["full_step"] = dt
-    print("# phases (ms):", json.dumps(
-        {k: round(v * 1e3, 3) for k, v in phases.items()}))
+        # roofline accounting (VERDICT r1 weak #2): per-phase FLOP/byte
+        # models from measured occupancy, against v5e peaks (public spec:
+        # ~197 bf16 TFLOPS; f32 through the MXU ~1/4; HBM ~819 GB/s).
+        # MODELS, not counters — good enough to attribute compute- vs
+        # bandwidth- vs latency-bound phases.
+        PEAK_F32 = 49e12
+        PEAK_HBM = 819e9
+        n_inst = occ["instances"]
+        dem = occ["aabb_demand"]
+        M = rcfg.max_instances
+        Mr = rcfg.max_render_instances or M
+        K, Pp = rcfg.chunk_size, rcfg.tile_size ** 2
+        npix = w * h
 
-    images_per_sec = 1.0 / dt
-    clipped_step = int(m.clipped_instances)
-    # the baseline ratio is only meaningful at the workload the baseline
-    # describes: garden recipe, 1536-longest images, >=500k points
-    # (BASELINE.md; VERDICT r2 weak #1)
-    garden_class = (w * h >= int(1536 * 1024 * 0.85)
-                    and n_active >= 500_000)
+        def row(name, t, flops, bytes_):
+            return {
+                "phase": name, "ms": t * 1e3,
+                "gflops": flops / 1e9, "gb": bytes_ / 1e9,
+                "pct_flops": 100.0 * flops / t / PEAK_F32,
+                "pct_hbm": 100.0 * bytes_ / t / PEAK_HBM,
+            }
 
-    # ---- roofline accounting (VERDICT r1 weak #2) -------------------------
-    # Per-phase FLOP/byte models from measured occupancy, against v5e peaks
-    # (public spec: ~197 bf16 TFLOPS; f32 through the MXU ~1/4 of that;
-    # HBM ~819 GB/s). These are MODELS, not counters — good enough to
-    # attribute which phases are compute- vs bandwidth- vs latency-bound.
-    PEAK_F32 = 49e12
-    PEAK_HBM = 819e9
-    inst = occ["instances"]
-    dem = occ["aabb_demand"]
-    M, Mr = rcfg.max_instances, rcfg.max_render_instances or rcfg.max_instances
-    K, Pp = rcfg.chunk_size, rcfg.tile_size ** 2
-    npix = w * h
+        bin_bytes = M * (20 * 8 + 12 * 4 + 8 * 4) + dem * 4
+        fwd_flops = n_inst * (2 * Pp * K / K + 30 * Pp + 2 * Pp * K)
+        fwd_bytes = n_inst / K * (16 * K * 4) + Mr * 16 * 4 + npix * 8 * 4
+        bwd_flops = 2.5 * fwd_flops
+        bwd_bytes = 2.0 * fwd_bytes + Mr * 16 * 4 * 3
+        ssim_flops = 3 * npix * 3 * (2 * 11 * 11 * 4)
+        render_t = max(phases["render_fwd"] - phases["project_bin"], 1e-4)
+        bwd_t = max(phases["grads_fwd_bwd"] - phases["render_fwd"]
+                    - phases["ssim_fwd_bwd"], 1e-4)
+        rows = [
+            row("project+bin+sort", phases["project_bin"],
+                n_active * 150 + dem * 10, bin_bytes),
+            row("composite fwd (+color)", render_t, fwd_flops, fwd_bytes),
+            row("backward (kernel+reduce)", bwd_t, bwd_flops, bwd_bytes),
+            row("ssim fwd+bwd", phases["ssim_fwd_bwd"], 3 * ssim_flops,
+                npix * 3 * 4 * 12),
+        ]
+    else:
+        print(f"# phases: SKIPPED (budget {budget_left():.0f}s)")
 
-    def row(name, t, flops, bytes_):
-        return {
-            "phase": name, "ms": t * 1e3,
-            "gflops": flops / 1e9, "gb": bytes_ / 1e9,
-            "pct_flops": 100.0 * flops / t / PEAK_F32,
-            "pct_hbm": 100.0 * bytes_ / t / PEAK_HBM,
-        }
+    # ---- auto-tune: pruned probe set, budget-gated per candidate ----------
+    # Probes that lost in >=3 rounds (or decisively at this workload) are
+    # retired — see module docstring. What remains: knobs that were
+    # borderline (pallas_scans: -1% r4, below the noise margin), scene-
+    # dependent (saturation compaction), or NEW at this workload (tile_size
+    # 64, batch>1 amortization).
+    scene0_iters_ab = int(os.environ.get("BENCH_AB_ITERS", 10))
+    iters_ab = scene0_iters_ab
 
-    # binning: ~8 passes over M-sized int/float arrays (scans, sort ~20
-    # merge passes over 8B keys, aux gather 48B/instance, key build)
-    bin_bytes = M * (20 * 8 + 12 * 4 + 8 * 4) + dem * 4
-    # compositing fwd: per (instance, chunk-pixel-block): cumsum matmul
-    # 2*P*K per instance-column + geometry ~30 VPU flops per (P, instance)
-    fwd_flops = inst * (2 * Pp * K / K + 30 * Pp + 2 * Pp * K)  # ~= 2*P*K dominant
-    fwd_bytes = inst / K * (16 * K * 4) + Mr * 16 * 4 + npix * 8 * 4
-    bwd_flops = 2.5 * fwd_flops
-    bwd_bytes = 2.0 * fwd_bytes + Mr * 16 * 4 * 3   # grad slabs + reorder
-    ssim_flops = 3 * npix * 3 * (2 * 11 * 11 * 4)   # banded contractions
-    render_t = max(phases["render_fwd"] - phases["project_bin"], 1e-4)
-    bwd_t = max(phases["grads_fwd_bwd"] - phases["render_fwd"]
-                - phases["ssim_fwd_bwd"], 1e-4)
-    rows = [
-        row("project+bin+sort", phases["project_bin"],
-            n_active * 150 + dem * 10, bin_bytes),
-        row("composite fwd (+color)", render_t, fwd_flops, fwd_bytes),
-        row("backward (kernel+reduce)", bwd_t, bwd_flops, bwd_bytes),
-        row("ssim fwd+bwd", phases["ssim_fwd_bwd"], 3 * ssim_flops,
-            npix * 3 * 4 * 12),
-    ]
+    def measure(rcfg_v, bs=1):
+        step_v = make_step(rcfg_v)
+        bb = batches if bs == 1 else stacked_batches(bs)
+        sc = jax.tree_util.tree_map(jnp.copy, scene0)
+        ps = PointState.new_zeros(scene0.capacity)
+        sc, ps, m = step_v(sc, ps, bb[0], hyper, key)
+        float(np.asarray(m.mse))
+        sc, ps, m = step_v(sc, ps, bb[1 % len(bb)], hyper, key)
+        float(np.asarray(m.mse))
+        # TWO chained loops per candidate, best-of-2: single-sample A/Bs
+        # through the relay flip 5-10% calls on noise (VERDICT r2 weak #7)
+        reps = []
+        n_it = max(2, iters_ab // bs)
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            for i in range(n_it):
+                sc, ps, m = step_v(sc, ps, bb[i % len(bb)], hyper, key)
+            mse = float(np.asarray(m.mse))
+            if not np.isfinite(mse):
+                raise RuntimeError(f"non-finite mse {mse} in A/B candidate")
+            reps.append((time.perf_counter() - t0) / n_it / bs)
+        del sc, ps
+        return min(reps)
+
+    ab_table = []
+
+    def candidate_cost_s():
+        # compile (~40-90 s through the relay at garden scale) + 2 timed reps
+        return 100 + 2 * iters_ab * best_dt
+
+    def try_measure(name, rcfg_v, bs=1):
+        if budget_left() < candidate_cost_s() + 60:
+            print(f"# tune {name}: SKIPPED (budget {budget_left():.0f}s)")
+            return None
+        try:
+            t = measure(rcfg_v, bs=bs)
+            ab_table.append((name, rcfg_v, t, bs))
+            print(f"# tune {name}: {t*1e3:.2f} ms/image")
+            return t
+        except Exception as e:  # Mosaic compile/shape failures -> skip
+            ab_table.append((name, rcfg_v, None, bs))
+            print(f"# tune {name}: FAILED ({type(e).__name__}: {e})"[:300])
+            return None
+
+    # adoption margin (VERDICT r3 weak #7): a candidate only displaces the
+    # incumbent best when it wins by >=3% — best-of-2 chained loops through
+    # the relay still flip 1-3% calls on noise, and a noise-level greedy
+    # pick must not change a committed default.
+    TUNE_MARGIN = 0.97
+    margin_notes = []
+
+    def _quality_ab_pass(arm, tol_db=0.15):
+        """Quality-gated knobs only become adoptable after the committed
+        garden-scale quality A/B (runs/ab_<arm> vs runs/ab_control, the
+        resume-2k-steps protocol in scripts_dev/quality_ab.py)."""
+        base = Path(__file__).parent / "runs"
+        try:
+            ctrl = json.loads(
+                (base / "ab_control" / "result.json").read_text())
+            res = json.loads(
+                (base / f"ab_{arm}" / "result.json").read_text())
+            d = res["val_psnr"] - ctrl["val_psnr"]
+            print(f"# quality A/B {arm}: val_psnr {res['val_psnr']:.2f}"
+                  f" vs control {ctrl['val_psnr']:.2f} ({d:+.2f} dB)")
+            return d >= -tol_db
+        except Exception:
+            return False
+
+    def _scans_qualified():
+        try:
+            rec = json.loads(
+                (Path(__file__).parent / "runs" /
+                 "scan_qualification.json").read_text())
+            return bool(rec.get("qualified"))
+        except Exception:
+            return False
+
+    if os.environ.get("BENCH_TUNE", "1") != "0" and budget_left() > 300:
+        import dataclasses as _dc
+        print("# tune: retired probes (3-round losers, VERDICT r4 #7): "
+              "kernel_basis, cumprod_scan, exit_bands, chunk256, tpb16, "
+              "bwd_moments, grad_pack_in_kernel")
+        # (1) pallas_scans: won by 1% in r4 (239.49 vs 241.94) — below the
+        # adoption margin but the only sub-noise winner; keep probing.
+        if not rcfg.pallas_scans and _scans_qualified():
+            t = try_measure("pallas_scans=True",
+                            _dc.replace(rcfg, pallas_scans=True))
+            if t is not None and t <= best_dt * TUNE_MARGIN:
+                best_dt, best_rcfg = t, _dc.replace(rcfg, pallas_scans=True)
+                best_label = "pallas_scans=True"
+            elif t is not None and t < best_dt:
+                margin_notes.append(
+                    f"kept base over pallas_scans ({t*1e3:.2f} vs "
+                    f"{best_dt*1e3:.2f} ms) — win below the 3% margin")
+        # (2) saturation compaction at a demand-bucketed capacity: scene-
+        # dependent (pays on deep-occupancy trained scenes).
+        try:
+            from splat_trainer_tpu.models import mlp_scene as _ms
+            mr_b = best_rcfg.max_render_instances or best_rcfg.max_instances
+            probe_cfg = _dc.replace(best_rcfg, max_sat_instances=mr_b)
+
+            def _sat_probe(batch):
+                cam = CameraParams(
+                    T_camera_world=batch.T_camera_world[0],
+                    projection=batch.projection[0],
+                    near_plane=batch.near[0], far_plane=batch.far[0],
+                    image_size=image_size)
+                return _ms.render(scene, scene_config, cam,
+                                  batch.image_idx[0], probe_cfg).sat_demand
+
+            probe = jax.jit(_sat_probe)
+            sdem = max(int(np.asarray(probe(b))) for b in batches)
+            msat = min(ladder_fit(int(sdem * 1.3), mr_b), mr_b)
+            print(f"# sat probe: demand {sdem} -> capacity {msat}")
+            cand = _dc.replace(best_rcfg, max_sat_instances=msat)
+            t = try_measure(f"sat{msat}", cand)
+            if t is not None and t <= best_dt * TUNE_MARGIN:
+                best_dt, best_rcfg, best_label = t, cand, f"sat{msat}"
+        except Exception as e:
+            print(f"# sat probe FAILED ({type(e).__name__}: {e})"[:300])
+        # (3) tile_size 64: never probed at this workload. Fewer duplicated
+        # instances (coarser tiles cut the expansion factor) vs 4x pixels
+        # per block — trades latency-bound stream size for MXU work.
+        if rcfg.tile_size == 32:
+            try:
+                ts64 = _dc.replace(
+                    bucketed(_dc.replace(rcfg_base, tile_size=64))[0],
+                    tiles_per_block=max(1, rcfg.tiles_per_block // 4))
+                t = try_measure(f"ts64 tpb{ts64.tiles_per_block}", ts64)
+                if t is not None and t <= best_dt * TUNE_MARGIN:
+                    best_dt, best_rcfg = t, ts64
+                    best_label = f"ts64 tpb{ts64.tiles_per_block}"
+            except Exception as e:
+                print(f"# ts64 probe FAILED ({type(e).__name__}: {e})"[:300])
+        # (4) batch>1: one optimizer step per B images amortizes the
+        # per-step fixed cost (optimizer + stats + dispatch). Metric is
+        # img/s so this raises the headline directly — but it changes the
+        # effective batch, so adoption is gated on the garden-scale
+        # quality A/B (runs/ab_batch4) like the bf16 scan knobs were.
+        if n_cams >= 4:
+            b4_ok = _quality_ab_pass("batch4")
+            tag = ("quality A/B passed" if b4_ok
+                   else "info: no quality-A/B pass recorded; not adopted")
+            t = try_measure(f"batch4 ({tag})", best_rcfg, bs=4)
+            if t is not None and b4_ok and t <= best_dt * TUNE_MARGIN:
+                best_dt, best_label, best_bs = t, f"{best_label} + batch4", 4
+
+    # ---- re-measure + re-emit if tuning adopted anything ------------------
+    if (best_rcfg is not rcfg or best_bs != 1) and budget_left() > 200:
+        dt2, clipped2 = measure_full(best_rcfg, max(iters // best_bs, 4),
+                                     bs=best_bs)
+        print(f"# adopted {best_label}: {dt2*1e3:.2f} ms/image")
+        if dt2 < dt_img:
+            clipped_step = clipped2
+            emit(make_result(dt2, best_label, bs=best_bs))
+
+    # ---- PROFILE.md -------------------------------------------------------
+    final = _last_result
+    images_per_sec = final["value"]
+    ab_md = "\n".join(
+        f"| {name}{' (B=' + str(bs) + ')' if bs != 1 else ''} | "
+        f"{'FAILED' if t is None else f'{t*1e3:.2f}'} |"
+        for name, _, t, bs in ab_table) or "| (none probed) | |"
     roofline_md = "\n".join(
         f"| {r['phase']} | {r['ms']:.1f} | {r['gflops']:.1f} | {r['gb']:.2f} "
         f"| {r['pct_flops']:.1f}% | {r['pct_hbm']:.1f}% |" for r in rows)
+    have_phases = "project_bin" in phases
 
-    ab_md = "\n".join(
-        f"| {name} | {'FAILED' if t is None else f'{t*1e3:.2f}'} |"
-        for name, _, t in ab_table) or "| (disabled) | |"
+    def ph(k):
+        return phases.get(k, 0.0) * 1e3
 
     profile = Path("PROFILE.md")
     profile.write_text(f"""# Step-time profile (bench.py)
@@ -702,19 +752,26 @@ Measured on `{jax.devices()[0].device_kind}` at {w}x{h}, scene:
 
 | phase | ms | notes |
 |---|---|---|
-| project + bin + sort | {phases['project_bin']*1e3:.2f} | projection, tile expand, key sort (M={M}) |
-| render forward | {phases['render_fwd']*1e3:.2f} | binning + color eval + pallas compositing (Mr={Mr}) |
-| ssim fwd+bwd | {phases['ssim_fwd_bwd']*1e3:.2f} | 3-level, f32 banded matmuls |
-| full grads (fwd+bwd) | {phases['grads_fwd_bwd']*1e3:.2f} | render + losses + custom VJP |
-| **full train step** | **{phases['full_step']*1e3:.2f}** | + optimizer + statistics |
+| project + bin + sort | {ph('project_bin'):.2f} | projection, tile expand, key sort (M={rcfg.max_instances}) |
+| render forward | {ph('render_fwd'):.2f} | binning + color eval + pallas compositing (Mr={rcfg.max_render_instances}) |
+| ssim fwd+bwd | {ph('ssim_fwd_bwd'):.2f} | 3-level, f32 banded matmuls |
+| full grads (fwd+bwd) | {ph('grads_fwd_bwd'):.2f} | render + losses + custom VJP |
+| **full train step** | **{dt_img*1e3:.2f}** | per image, incumbent config |
 
-Chosen config: tile_size={rcfg.tile_size}, tiles_per_block={rcfg.tiles_per_block},
+{"(phase rows are 0.00 — the phase stage was budget-skipped this run)" if not have_phases else ""}
+
+Headline config: {final.get('config')}, {images_per_sec:.2f} img/s/chip.
+Incumbent config: tile_size={rcfg.tile_size}, tiles_per_block={rcfg.tiles_per_block},
 chunk_size={rcfg.chunk_size}, max_sat_instances={rcfg.max_sat_instances},
 grad_bf16_pack={rcfg.grad_bf16_pack} (never auto-enabled).
 
-## Auto-tune A/B (chained {iters_ab}-step loop per candidate, fresh scene copy each)
+## Auto-tune A/B (pruned probe set; chained loops, fresh scene copy each)
 
-| candidate | ms/step |
+Retired after three losing rounds (VERDICT r4 #7): kernel_basis,
+cumprod_scan, exit_bands, chunk256, tpb16, bwd_moments,
+grad_pack_in_kernel. Remaining probes:
+
+| candidate | ms/image |
 |---|---|
 {ab_md}
 
@@ -723,11 +780,11 @@ grad_bf16_pack={rcfg.grad_bf16_pack} (never auto-enabled).
 Occupancy: {json.dumps(occ)}
 Clipped instances during the timed steps: {clipped_step}.
 
-## Roofline attribution (modeled FLOPs/bytes vs v5e peaks: {PEAK_F32/1e12:.0f} f32 TFLOPS, {PEAK_HBM/1e9:.0f} GB/s)
+## Roofline attribution (modeled FLOPs/bytes vs v5e peaks: 49 f32 TFLOPS, 819 GB/s)
 
 | phase | ms | GFLOP | GB | % f32 peak | % HBM peak |
 |---|---|---|---|---|---|
-{roofline_md}
+{roofline_md or "| (budget-skipped) | | | | | |"}
 
 Reading: every phase sits far below BOTH peaks — the pipeline is
 dominated by per-element gather/scatter/sort latency over the
@@ -743,64 +800,21 @@ taichi-splatting ~{BASELINE_IMAGES_PER_SEC}) on THIS workload:
 {w}x{h}, {n_active} active points
 ({"garden-class" if garden_class else "SUB-GARDEN — not comparable to the garden baseline"}).
 
-## Remaining-gap attribution (target >=3x baseline = 36 img/s = {1000/(3*BASELINE_IMAGES_PER_SEC):.1f} ms/step)
-
-Derived from THIS run's measured phases (no frozen trace numbers —
-VERDICT r2 weak #2; op-level traces live in scripts_dev/trace_step.py
-output and RESULTS.md, date-stamped):
+## Remaining-gap attribution (target >=3x baseline = 36 img/s = {1000/(3*BASELINE_IMAGES_PER_SEC):.1f} ms/image)
 
 | component | ms (measured, this run) |
 |---|---|
-| project + bin + sort | {phases['project_bin']*1e3:.1f} |
-| forward kernel + color eval | {(phases['render_fwd']-phases['project_bin'])*1e3:.1f} |
-| ssim fwd+bwd | {phases['ssim_fwd_bwd']*1e3:.1f} |
-| backward kernel + grad reduce | {max(phases['grads_fwd_bwd']-phases['render_fwd']-phases['ssim_fwd_bwd'],0)*1e3:.1f} |
-| optimizer + statistics | {max(phases['full_step']-phases['grads_fwd_bwd'],0)*1e3:.1f} |
-| **total step** | **{phases['full_step']*1e3:.1f}** |
-| gap to 3x target | {phases['full_step']*1e3 - 1000/(3*BASELINE_IMAGES_PER_SEC):+.1f} |
+| project + bin + sort | {ph('project_bin'):.1f} |
+| forward kernel + color eval | {ph('render_fwd')-ph('project_bin'):.1f} |
+| ssim fwd+bwd | {ph('ssim_fwd_bwd'):.1f} |
+| backward kernel + grad reduce | {max(ph('grads_fwd_bwd')-ph('render_fwd')-ph('ssim_fwd_bwd'),0):.1f} |
+| optimizer + statistics | {max(dt_img*1e3-ph('grads_fwd_bwd'),0):.1f} |
+| **total step (per image)** | **{dt_img*1e3:.1f}** |
+| gap to 3x target | {dt_img*1e3 - 1000/(3*BASELINE_IMAGES_PER_SEC):+.1f} |
 """)
 
-    result = {
-        "metric": "train_images_per_sec_per_chip",
-        "value": round(images_per_sec, 3),
-        "unit": "images/sec/chip",
-        # workload label: a ratio against the garden-recipe A100 baseline is
-        # only honest at garden scale. A sub-garden measurement reports the
-        # ratio as null with the reason (VERDICT r2 weak #1).
-        "workload": {
-            "image_size": f"{w}x{h}",
-            "active_points": n_active,
-            "scene": "trained checkpoint" if loaded else "synthetic fallback",
-            "garden_class": garden_class,
-        },
-        "vs_baseline": (round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3)
-                        if garden_class else None),
-    }
-    if not garden_class:
-        result["vs_baseline_note"] = (
-            "workload below garden scale (1536x1024, >=500k points); "
-            "ratio vs the garden-recipe A100 baseline withheld")
-    if jax.default_backend() not in ("cpu",):
-        # persist the real-chip measurement for the tunnel-down fallback
-        import datetime
-        import subprocess
-        try:
-            commit = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                cwd=Path(__file__).parent, capture_output=True,
-                text=True).stdout.strip()
-        except Exception:
-            commit = "unknown"
-        (Path(__file__).parent / "BENCH_LAST_ONCHIP.json").write_text(
-            json.dumps({**result,
-                        "measured_at": datetime.date.today().isoformat(),
-                        "commit": commit,
-                        "protocol": f"bench.py chained {iters}-step loop, "
-                        f"{'checkpoint' if loaded else 'fallback'} scene "
-                        f"{w}x{h}, {n_active} active points",
-                        "note": "see PROFILE.md for the per-phase profile"})
-            + "\n")
-    print(json.dumps(result))
+    # the LAST stdout line is always the headline
+    print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,15 @@ ARMS = {
     # tile_size has a kernel-level parity test (test_tile_size_parity) but the
     # judge asked for the training arm too (VERDICT r3 item 2)
     "ts16": ["trainer.tile_size=16"],
+    # batch accumulation (VERDICT r4 #1c): 4 images per optimizer step,
+    # EQUAL-IMAGE protocol — 500 steps x 4 images = control's 2000 images,
+    # and both arms end at t=1.0 of their own schedules (overrides are
+    # last-wins, so total_steps=12500 displaces EXTEND's 14000). The
+    # optimizer's second-moment normalization makes the sum-accumulated
+    # gradient roughly lr-neutral; this arm verifies that at scale before
+    # bench.py may adopt the batch4 headline.
+    "batch4": ["trainer.total_steps=12500",
+               "trainer.view_selection.batch_size=4"],
 }
 ARM_TIMEOUT_S = 4200
 # 2000 steps @ ~250 ms + compile (~90 s) + 2 evals (~120 s) + load — observed

@@ -32,8 +32,15 @@ def remaining():
 
 
 def run(name, cmd, budget, min_needed=None):
-    if remaining() < (min_needed if min_needed is not None else budget * 0.5):
-        print(f"== {name}: SKIPPED ({remaining():.0f}s left)", flush=True)
+    # clamp: a caller computing budget=remaining()-X can go negative when
+    # the script starts late; a negative budget must skip, not run with a
+    # silent 60 s timeout (ADVICE r4)
+    budget = max(0.0, budget)
+    if budget < 60 or \
+            remaining() < (min_needed if min_needed is not None
+                           else budget * 0.5):
+        print(f"== {name}: SKIPPED ({remaining():.0f}s left, "
+              f"budget {budget:.0f}s)", flush=True)
         return
     print(f"== {name}: starting ({remaining():.0f}s left)", flush=True)
     env = dict(os.environ, TQDM_DISABLE="1")

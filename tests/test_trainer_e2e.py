@@ -127,3 +127,25 @@ def test_batch_summary(dataset, tmp_path, monkeypatch):
     assert {"psnr", "num_visible", "grad_position"} <= set(df.columns)
     assert (df["num_visible"] > 0).all()
     trainer.close()
+
+
+def test_trainer_batched_steps(dataset, tmp_path, monkeypatch):
+    """Single-device batch_size=4: one optimizer step per 4 accumulated
+    images (reference semantics trainer.py:500-514 — loss.backward() per
+    image, one step per batch). The DP tests shard B>1 over a mesh
+    (test_multichip.py); this covers the unrolled single-device path the
+    bench.py batch4 probe and the ab_batch4 quality arm measure."""
+    monkeypatch.chdir(tmp_path)
+    os.environ["TQDM_DISABLE"] = "1"
+
+    config = make_config(
+        tmp_path, total_steps=30,
+        view_selection=RandomSamplerConfig(batch_size=4),
+        save_output=False)
+    trainer = Trainer.initialize(config, dataset, NullLogger())
+    metrics = trainer.train()
+    assert np.isfinite(metrics["train_psnr"])
+    # 30 optimizer steps x 4 images must improve over the step-0 eval
+    first = trainer.evaluation_log[0]["train_psnr"]
+    assert metrics["train_psnr"] > first + 3.0, (first, metrics)
+    trainer.close()
