@@ -216,6 +216,8 @@ def fallback_scene():
         def raster_config(**kw):
             from splat_trainer_tpu.core.types import RasterConfig
             cap = max(1 << 18, min(1 << 22, TARGET_POINTS * 4))
+            kw.setdefault("tile_size",
+                          int(os.environ.get("BENCH_TILE_SIZE", 16)))
             return RasterConfig(max_instances=cap, chunk_size=128, **kw)
 
     return scene, _Cfg, ds.camera_table
@@ -692,20 +694,37 @@ def main():
                 best_dt, best_rcfg, best_label = t, cand, f"sat{msat}"
         except Exception as e:
             print(f"# sat probe FAILED ({type(e).__name__}: {e})"[:300])
-        # (3) tile_size 64: never probed at this workload. Fewer duplicated
-        # instances (coarser tiles cut the expansion factor) vs 4x pixels
-        # per block — trades latency-bound stream size for MXU work.
+        # (3) tile_size 64: never probed at this workload. Measured span
+        # stats at the 1M checkpoint (2026-08-21): ts64 HALVES instance
+        # demand (2.45M -> 1.31M AABB, expansion 4.04 -> 2.16), and r3
+        # showed the stream ops dominate kernel waste at this scale (ts32
+        # beat ts16) — so keep walking coarser: if ts64 wins at all,
+        # escalate to ts128 (demand 0.89M) and a chunk-64 variant.
         if rcfg.tile_size == 32:
-            try:
-                ts64 = _dc.replace(
-                    bucketed(_dc.replace(rcfg_base, tile_size=64))[0],
-                    tiles_per_block=max(1, rcfg.tiles_per_block // 4))
-                t = try_measure(f"ts64 tpb{ts64.tiles_per_block}", ts64)
-                if t is not None and t <= best_dt * TUNE_MARGIN:
-                    best_dt, best_rcfg = t, ts64
-                    best_label = f"ts64 tpb{ts64.tiles_per_block}"
-            except Exception as e:
-                print(f"# ts64 probe FAILED ({type(e).__name__}: {e})"[:300])
+            def _ts_probe(ts, tpb, k=None):
+                try:
+                    base_v = _dc.replace(rcfg_base, tile_size=ts)
+                    if k is not None:
+                        base_v = _dc.replace(base_v, chunk_size=k)
+                    cand = _dc.replace(bucketed(base_v)[0],
+                                       tiles_per_block=tpb)
+                    label = f"ts{ts} tpb{tpb}" + (f" k{k}" if k else "")
+                    return label, cand, try_measure(label, cand)
+                except Exception as e:
+                    print(f"# ts{ts} probe FAILED "
+                          f"({type(e).__name__}: {e})"[:300])
+                    return None, None, None
+            label, cand, t = _ts_probe(
+                64, max(1, rcfg.tiles_per_block // 4))
+            if t is not None and t < best_dt:
+                if t <= best_dt * TUNE_MARGIN:
+                    best_dt, best_rcfg, best_label = t, cand, label
+                for label2, cand2, t2 in (
+                        _ts_probe(64, max(1, rcfg.tiles_per_block // 4),
+                                  k=64),
+                        _ts_probe(128, 1)):
+                    if t2 is not None and t2 <= best_dt * TUNE_MARGIN:
+                        best_dt, best_rcfg, best_label = t2, cand2, label2
         # (4) batch>1: one optimizer step per B images amortizes the
         # per-step fixed cost (optimizer + stats + dispatch). Metric is
         # img/s so this raises the headline directly — but it changes the

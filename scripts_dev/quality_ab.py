@@ -49,7 +49,9 @@ ARMS = {
     # optimizer's second-moment normalization makes the sum-accumulated
     # gradient roughly lr-neutral; this arm verifies that at scale before
     # bench.py may adopt the batch4 headline.
-    "batch4": ["trainer.total_steps=12500",
+    # eval_steps=500 so the final eval actually fires at 12500 (12500 %
+    # 2000 != 0 would leave the checkpoint's stale metrics as the result)
+    "batch4": ["trainer.total_steps=12500", "trainer.eval_steps=500",
                "trainer.view_selection.batch_size=4"],
 }
 ARM_TIMEOUT_S = 4200
