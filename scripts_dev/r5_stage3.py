@@ -1,0 +1,99 @@
+"""Round-5 stage-3 chip queue: late-dip attribution + final ply export.
+
+The finished 30k run (RESULTS.md round-5 section) lost 0.40 dB val in its
+last 2000 steps with train PSNR flat. The suspect is the reference's own
+INCREASING opacity-regularizer schedule (reg_weight.opacity =
+LogDecay(1.0, factor=100) -> 74x at t=0.93, 100x at t=1.0;
+/root/reference/splat_trainer/config/scene/mlp.yaml:18). Two resumes of
+checkpoint_28000 to 30000 attribute it:
+
+  control — identical recipe (also measures rerun variance of the final
+            eval: is 26.76 reproducible?)
+  frozen  — reg_weight.opacity held constant at its t=0.9333 value
+            (100**0.9333 = 73.56), every other knob identical
+
+If frozen lands ~27.1+ while control reproduces ~26.8, the dip is the
+reference schedule (recorded as a recommended recipe deviation, parity
+default untouched). Also regenerates the final SH ply for m3_30k (the
+tail run's exports failed on transient relay HTTP 500s).
+
+Usage: nohup python -m scripts_dev.r5_stage3 <deadline_unix_ts> [wait_pid] &
+"""
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path("/root/repo")
+DEADLINE = float(sys.argv[1])
+SRC = REPO / "runs" / "m3_30k"
+STEP = 28000
+
+
+def remaining():
+    return DEADLINE - time.time()
+
+
+def run(name, cmd, budget, min_needed):
+    if remaining() < min_needed:
+        print(f"== {name}: SKIPPED ({remaining():.0f}s left)", flush=True)
+        return
+    budget = max(0.0, min(budget, remaining()))
+    if budget < 60:
+        print(f"== {name}: SKIPPED (budget {budget:.0f}s)", flush=True)
+        return
+    print(f"== {name}: starting ({remaining():.0f}s left)", flush=True)
+    env = dict(os.environ, TQDM_DISABLE="1")
+    with open(f"/tmp/{name}.out", "w") as f:
+        try:
+            proc = subprocess.run(cmd, cwd=REPO, stdout=f, env=env,
+                                  stderr=subprocess.STDOUT, timeout=budget)
+            status = "done" if proc.returncode == 0 else \
+                f"FAILED rc={proc.returncode} (see /tmp/{name}.out)"
+            print(f"== {name}: {status} ({remaining():.0f}s left)", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"== {name}: TIMEOUT after {budget:.0f}s", flush=True)
+
+
+def make_arm(name):
+    dst = REPO / "runs" / name
+    dst.mkdir(parents=True, exist_ok=True)
+    shutil.copy(SRC / "config.yaml", dst / "config.yaml")
+    shutil.copy(SRC / "cameras.json", dst / "cameras.json")
+    (dst / "checkpoint").mkdir(exist_ok=True)
+    ck = dst / "checkpoint" / f"checkpoint_{STEP}"
+    if not ck.exists():
+        shutil.copytree(SRC / "checkpoint" / f"checkpoint_{STEP}", ck)
+    return dst
+
+
+def main():
+    if len(sys.argv) > 2:
+        pid = int(sys.argv[2])
+        print(f"waiting for pid {pid} to exit...", flush=True)
+        while os.path.exists(f"/proc/{pid}") and remaining() > 900:
+            time.sleep(30)
+        print(f"pid {pid} gone ({remaining():.0f}s left)", flush=True)
+
+    for name, overrides in (
+            ("reg30k_control", []),
+            ("reg30k_frozen",
+             ["trainer.scene.reg_weight.opacity=73.56"])):
+        dst = make_arm(name)
+        run(name,
+            [sys.executable, "-m",
+             "splat_trainer_tpu.scripts.checkpoint_tools", "resume",
+             str(dst), "--step", str(STEP), *overrides],
+            budget=2400, min_needed=1200)
+
+    run("write_sh_30k",
+        [sys.executable, "-m",
+         "splat_trainer_tpu.scripts.checkpoint_tools", "write-sh",
+         "runs/m3_30k", "--step", "30000"], budget=1800, min_needed=600)
+    print("r5 stage3 done; chip free", flush=True)
+
+
+if __name__ == "__main__":
+    main()
