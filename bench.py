@@ -346,13 +346,13 @@ def main():
     _bin_cache = {}
 
     def bucketed(rcfg_v):
-        ts = rcfg_v.tile_size
-        if ts not in _bin_cache:
+        key_b = (rcfg_v.tile_size, rcfg_v.alpha_threshold)
+        if key_b not in _bin_cache:
             bj = jax.jit(binning_stats_with(rcfg_v))  # ONE wrapper per
             # config: re-wrapping per call would re-trace each invocation
             out = [bj(b) for b in batches]
-            _bin_cache[ts] = (bj, out)
-        bj, out = _bin_cache[ts]
+            _bin_cache[key_b] = (bj, out)
+        bj, out = _bin_cache[key_b]
         demand = max(int(np.asarray(o[2].demand)) for o in out)
         instances = max(int(np.asarray(o[2].total)) for o in out)
         m_b = ladder_fit(int(demand * 1.3), rcfg_v.max_instances)
@@ -737,6 +737,30 @@ def main():
             t = try_measure(f"batch4 ({tag})", best_rcfg, bs=4)
             if t is not None and b4_ok and t <= best_dt * TUNE_MARGIN:
                 best_dt, best_label, best_bs = t, f"{best_label} + batch4", 4
+        # (5) alpha_threshold (approximation-class: drops splats whose peak
+        # alpha is below the threshold): 2/255 measured -25% visible /
+        # -31% demand at checkpoint_30000, the largest instance-count
+        # lever on the table. Quality-gated on runs/ab_alpha* like the
+        # bf16/batch knobs; probed info-only without a pass. Rebucketed —
+        # the whole point is the smaller capacities.
+        for arm, at in (("alpha2", 2.0 / 255), ("alpha4", 4.0 / 255)):
+            a_ok = _quality_ab_pass(arm)
+            tag = ("quality A/B passed" if a_ok
+                   else "info: no quality-A/B pass recorded; not adopted")
+            try:
+                b_al = bucketed(_dc.replace(
+                    rcfg_base, tile_size=best_rcfg.tile_size,
+                    alpha_threshold=at))[0]
+                cand = _dc.replace(
+                    best_rcfg, alpha_threshold=at,
+                    max_instances=b_al.max_instances,
+                    max_render_instances=b_al.max_render_instances)
+                t = try_measure(f"{arm} ({tag})", cand, bs=best_bs)
+                if t is not None and a_ok and t <= best_dt * TUNE_MARGIN:
+                    best_dt, best_rcfg = t, cand
+                    best_label = f"{best_label} + {arm}"
+            except Exception as e:
+                print(f"# {arm} probe FAILED ({type(e).__name__}: {e})"[:300])
 
     # ---- re-measure + re-emit if tuning adopted anything ------------------
     if (best_rcfg is not rcfg or best_bs != 1) and budget_left() > 200:

@@ -53,6 +53,14 @@ ARMS = {
     # 2000 != 0 would leave the checkpoint's stale metrics as the result)
     "batch4": ["trainer.total_steps=12500", "trainer.eval_steps=500",
                "trainer.view_selection.batch_size=4"],
+    # binning/compositing alpha threshold (approximation-class): measured
+    # at checkpoint_30000, 2/255 drops 25% of visible splats / 31% of
+    # instance demand — the single largest instance-count lever found.
+    # The arm trains AND evals at the raised threshold, so the measured
+    # delta includes any optimization-dynamics effect, not just render
+    # error.
+    "alpha2": ["trainer.alpha_threshold=0.00784314"],
+    "alpha4": ["trainer.alpha_threshold=0.01568627"],
 }
 ARM_TIMEOUT_S = 4200
 # 2000 steps @ ~250 ms + compile (~90 s) + 2 evals (~120 s) + load — observed

@@ -104,6 +104,14 @@ class TrainConfig:
     # per-band early exit inside the compositing kernels
     # (RasterConfig.exit_bands; 1 = whole-tile exit)
     exit_bands: int = 1
+    # minimum peak alpha for a splat to be binned/composited
+    # (RasterConfig.alpha_threshold). 1/255 is the 3DGS/reference
+    # convention; the trained garden scene carries a large near-transparent
+    # population (measured at checkpoint_30000: 2/255 drops 25% of visible
+    # splats and 31% of instance demand), so raising it is a throughput
+    # knob — approximation-class, so any non-default value must pass the
+    # garden quality A/B (runs/ab_alpha*) before bench adoption.
+    alpha_threshold: float = 1.0 / 255.0
     # per-band/tile exit threshold (RasterConfig.transmittance_threshold).
     # 1e-4 is the 3DGS-standard termination point; raising it trades a
     # bounded per-pixel color error for earlier exits — quality-A/B before
@@ -163,6 +171,7 @@ class TrainConfig:
             grad_pack_in_kernel=(self.grad_pack_in_kernel
                                  and self.grad_bf16_pack),
             pallas_scans=self.pallas_scans,
+            alpha_threshold=self.alpha_threshold,
             exit_bands=self.exit_bands,
             transmittance_threshold=self.transmittance_threshold,
             render_median_depth=render_median_depth,
