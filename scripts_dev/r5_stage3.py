@@ -92,6 +92,13 @@ def main():
         [sys.executable, "-m",
          "splat_trainer_tpu.scripts.checkpoint_tools", "write-sh",
          "runs/m3_30k", "--step", "30000"], budget=1800, min_needed=600)
+
+    # alpha-threshold quality arms (the -31%/-56% instance-demand lever;
+    # bench adopts only on a pass) — the quality_ab harness copies the
+    # m3_r3 base and resumes +2k steps per arm
+    run("ab_alpha",
+        [sys.executable, "-m", "scripts_dev.quality_ab", "alpha2", "alpha4",
+         "--deadline", str(DEADLINE - 600)], budget=4200, min_needed=1500)
     print("r5 stage3 done; chip free", flush=True)
 
 
