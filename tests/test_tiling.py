@@ -139,3 +139,49 @@ def test_radix_sort_matches_argsort():
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(keys)[ref])
     sk2, order = radix_argsort(keys, num_bits=18)
     np.testing.assert_array_equal(np.asarray(order), ref)
+
+
+def test_alpha_threshold_cuts_instances_boundedly():
+    """Raising alpha_threshold (TrainConfig-plumbed throughput knob) must
+    monotonically cut projected visibility + instance demand, and the
+    rendered image may only move by a bounded amount: every dropped splat
+    has peak alpha below the raised threshold, so the per-pixel change is
+    bounded by the sum of dropped peak alphas reachable at that pixel.
+    Uses the dense oracle so the test is backend-independent."""
+    import jax
+
+    from splat_trainer_tpu.ops import renderer
+    from splat_trainer_tpu.ops.projection import project_to_image
+    from tests.fixtures import look_at_camera, random_gaussians
+
+    key = jax.random.PRNGKey(3)
+    g = random_gaussians(key, 300)
+    # a trained-scene-like near-transparent population: a third of the
+    # splats get peak alpha ~0.005 (between 1/255 and 4/255)
+    logit = jnp.log(jnp.float32(0.005 / (1 - 0.005)))
+    g = g.replace(alpha_logit=g.alpha_logit.at[::3].set(logit))
+    camera = look_at_camera(image_size=(64, 48))
+
+    stats = {}
+    for at in (1.0 / 255, 4.0 / 255):
+        config = RasterConfig(backend="dense", max_instances=1 << 13,
+                              chunk_size=8, alpha_threshold=at)
+        g2d = project_to_image(g, camera, config)
+        grid = tiling.make_tile_grid((64, 48), config.tile_size)
+        qmax = 2.0 * jnp.log(jnp.maximum(g2d.opacity / at, 1e-12))
+        _, span = tiling.tile_rects(
+            g2d.mean, jnp.where(g2d.visible, g2d.radius, 0.0),
+            g2d.visible, grid, conic=g2d.conic, qmax=qmax)
+        out = renderer.render_gaussians(
+            g, jnp.asarray(g.feature), camera, config)
+        stats[at] = (int(g2d.visible.sum()), int(span.sum()),
+                     np.asarray(out.image))
+
+    v_lo, d_lo, img_lo = stats[1.0 / 255]
+    v_hi, d_hi, img_hi = stats[4.0 / 255]
+    assert v_hi < v_lo, (v_hi, v_lo)
+    assert d_hi < d_lo, (d_hi, d_lo)
+    # bounded approximation: raising the cutoff 1/255 -> 4/255 drops only
+    # sub-1.6%-alpha contributions; mean image movement stays small
+    assert np.abs(img_hi - img_lo).mean() < 0.01, \
+        np.abs(img_hi - img_lo).mean()
