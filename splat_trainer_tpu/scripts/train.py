@@ -183,19 +183,28 @@ def train_with_config(tree: dict, run_path: Path):
         trainer.close()
 
 
-def main(argv=None):
+def build_tree(args, overrides):
+    """Config tree from CLI flags + dotted overrides.
+
+    Flag-derived component swaps happen BEFORE dotted overrides, so
+    `--mcmc trainer.controller.relocate_stop_t=0.7` refines the swapped
+    controller instead of being silently wiped by it (the round-5
+    mcmc_m2_v2 run burned a chip slot on exactly that ordering bug)."""
     from splat_trainer_tpu.config.loader import apply_overrides, load_config
 
-    args, overrides = cfg_from_args(argv)
     tree = load_config(args.config or default_config_path())
-    tree = apply_overrides(tree, overrides)
-
     if args.mcmc:
         tree["trainer"]["controller"] = {"_target_": "MCMCConfig"}
     if args.no_densify:
         tree["trainer"]["controller"] = {"_target_": "DisabledConfig"}
     if args.overlap_batching:
         tree["trainer"]["view_selection"] = {"_target_": "TargetOverlapConfig"}
+    return apply_overrides(tree, overrides)
+
+
+def main(argv=None):
+    args, overrides = cfg_from_args(argv)
+    tree = build_tree(args, overrides)
 
     run_name = args.run_name or f"run_{np.random.randint(1 << 30):08x}"
     run_path = Path(args.output).absolute() / run_name

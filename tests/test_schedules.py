@@ -56,3 +56,22 @@ def test_eval_varyings_nested():
     assert out["position"]["type"] == "local_vector"
     assert out["feature"]["lr"] == 5.0
     assert eval_varying(3, 0.5) == 3
+
+
+def test_cli_flag_swap_before_dotted_overrides():
+    """`--mcmc trainer.controller.relocate_stop_t=0.7` must yield an
+    MCMCConfig WITH the override: flag-derived component swaps run before
+    apply_overrides (regression: the swap used to run after and silently
+    wiped controller overrides — round-5 mcmc_m2_v2)."""
+    from splat_trainer_tpu.config.loader import instantiate
+    from splat_trainer_tpu.scripts.train import build_tree, cfg_from_args
+
+    args, overrides = cfg_from_args(
+        ["--dataset-kind", "synthetic", "--mcmc",
+         "trainer.controller.relocate_stop_t=0.7",
+         "trainer.controller.max_noise_sigma=2.0"])
+    tree = build_tree(args, overrides)
+    config = instantiate(tree["trainer"])
+    assert type(config.controller).__name__ == "MCMCConfig"
+    assert config.controller.relocate_stop_t == 0.7
+    assert config.controller.max_noise_sigma == 2.0
