@@ -77,6 +77,28 @@ def main():
             time.sleep(30)
         print(f"pid {pid} gone ({remaining():.0f}s left)", flush=True)
 
+    # 1) tuned MCMC rerun (VERDICT r4 #5 "Done" criterion) — the queue's
+    # first attempt silently dropped the override (train-CLI flag/override
+    # ordering bug, fixed + regression-tested this round) and reproduced
+    # the untuned run exactly (itself a determinism datum)
+    run("mcmc_m2_v3",
+        [sys.executable, "-m", "splat_trainer_tpu.scripts.train",
+         "--dataset-kind", "procedural", "--run-name", "mcmc_m2_v3",
+         "--steps", "7000", "--target-points", "100000",
+         "--initial-points", "100000", "--mcmc", "--tensorboard",
+         "--save-checkpoints",
+         "trainer.controller.relocate_stop_t=0.7",
+         "dataset.num_images=64", "dataset.image_size=[768,512]",
+         "dataset.split_every=8"], budget=3300, min_needed=1500)
+
+    # 2) alpha-threshold quality arms (the -31%/-56% instance-demand
+    # lever; the round-end bench adopts only on a pass) — the quality_ab
+    # harness copies the m3_r3 base and resumes +2k steps per arm
+    run("ab_alpha",
+        [sys.executable, "-m", "scripts_dev.quality_ab", "alpha2", "alpha4",
+         "--deadline", str(DEADLINE - 600)], budget=4200, min_needed=1500)
+
+    # 3) late-dip attribution arms
     for name, overrides in (
             ("reg30k_control", []),
             ("reg30k_frozen",
@@ -92,13 +114,6 @@ def main():
         [sys.executable, "-m",
          "splat_trainer_tpu.scripts.checkpoint_tools", "write-sh",
          "runs/m3_30k", "--step", "30000"], budget=1800, min_needed=600)
-
-    # alpha-threshold quality arms (the -31%/-56% instance-demand lever;
-    # bench adopts only on a pass) — the quality_ab harness copies the
-    # m3_r3 base and resumes +2k steps per arm
-    run("ab_alpha",
-        [sys.executable, "-m", "scripts_dev.quality_ab", "alpha2", "alpha4",
-         "--deadline", str(DEADLINE - 600)], budget=4200, min_needed=1500)
     print("r5 stage3 done; chip free", flush=True)
 
 
