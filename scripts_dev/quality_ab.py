@@ -97,11 +97,19 @@ def run_arm(name, dst, overrides):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    deadline = None
-    for i, a in enumerate(sys.argv[1:]):
+    # hand-rolled so `--deadline <ts>`'s VALUE doesn't leak into the arm
+    # list (it did: the round-5 stage-2 run crashed on KeyError('<ts>')
+    # after its arms completed)
+    args, deadline = [], None
+    it = iter(sys.argv[1:])
+    for a in it:
         if a == "--deadline":
-            deadline = float(sys.argv[i + 2])
+            deadline = float(next(it))
+        elif not a.startswith("-"):
+            args.append(a)
+    unknown = [a for a in args if a not in ARMS]
+    if unknown:
+        raise SystemExit(f"unknown arms {unknown}; known: {list(ARMS)}")
     names = args or list(ARMS)
     warm_cache()
     for name in names:
