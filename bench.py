@@ -743,7 +743,8 @@ def main():
         # lever on the table. Quality-gated on runs/ab_alpha* like the
         # bf16/batch knobs; probed info-only without a pass. Rebucketed —
         # the whole point is the smaller capacities.
-        for arm, at in (("alpha2", 2.0 / 255), ("alpha4", 4.0 / 255)):
+        for arm, at in (("alpha2", 2.0 / 255), ("alpha4", 4.0 / 255),
+                        ("alpha8", 8.0 / 255)):
             a_ok = _quality_ab_pass(arm)
             tag = ("quality A/B passed" if a_ok
                    else "info: no quality-A/B pass recorded; not adopted")

@@ -61,6 +61,7 @@ ARMS = {
     # error.
     "alpha2": ["trainer.alpha_threshold=0.00784314"],
     "alpha4": ["trainer.alpha_threshold=0.01568627"],
+    "alpha8": ["trainer.alpha_threshold=0.03137255"],
 }
 ARM_TIMEOUT_S = 4200
 # 2000 steps @ ~250 ms + compile (~90 s) + 2 evals (~120 s) + load — observed
