@@ -49,6 +49,13 @@ def main():
             time.sleep(30)
         print(f"pid {pid} gone ({remaining():.0f}s left)", flush=True)
 
+    # finish mcmc_m2_v3's last 1000 steps (the fresh run timed out at its
+    # step-6000 eval — already +2.6 dB over the untuned ending and above
+    # the Disabled comparator there; the VERDICT criterion is step 7000)
+    run("mcmc_v3_tail",
+        [sys.executable, "-m",
+         "splat_trainer_tpu.scripts.checkpoint_tools", "resume",
+         "runs/mcmc_m2_v3"], budget=1500, min_needed=900)
     run("ab_alpha8",
         [sys.executable, "-m", "scripts_dev.quality_ab", "alpha8",
          "--deadline", str(DEADLINE - 2100)], budget=3000, min_needed=1500)
