@@ -56,9 +56,9 @@ def main():
         [sys.executable, "-m",
          "splat_trainer_tpu.scripts.checkpoint_tools", "resume",
          "runs/mcmc_m2_v3"], budget=1500, min_needed=900)
-    run("ab_alpha8",
-        [sys.executable, "-m", "scripts_dev.quality_ab", "alpha8",
-         "--deadline", str(DEADLINE - 2100)], budget=3000, min_needed=1500)
+    # alpha8 dropped: alpha2 already fails the quality gate by -0.59 dB
+    # (runs/ab_alpha2), so the coarser rungs can only be worse — the
+    # alpha2/alpha4 arms record the speed/quality curve's shape.
     run("bench_final",
         [sys.executable, "bench.py"], budget=2700, min_needed=900,
         env_extra={"BENCH_BUDGET_S": "2400"})
