@@ -28,8 +28,27 @@ def fit_sh_features(
     weights_per_view: jnp.ndarray,     # (V, N) visibility weights
     sh_degree: int = 2,
     ridge: float = 1e-4,
+    chunk: int = 262144,
 ) -> jnp.ndarray:
-    """Weighted least-squares SH fit, (N, 3, K)."""
+    """Weighted least-squares SH fit, (N, 3, K).
+
+    Chunked over N: at the 30k run's 1M points the whole-array batched
+    (N, K, K) solve hit an XLA:TPU "compile permanent error" through the
+    remote compile helper (2026-08-21, write_sh_30k). Each point's normal
+    equations are independent, so a host loop over fixed-size N-slices is
+    exact and compiles once (same chunk shape every iteration)."""
+    n_total = positions.shape[0]
+    if n_total > chunk:
+        outs = []
+        for s in range(0, n_total, chunk):
+            e = min(s + chunk, n_total)
+            idx = jnp.arange(s, s + chunk) % n_total   # fixed shape; the
+            # tail wraps and the wrapped rows are discarded below
+            outs.append(fit_sh_features(
+                positions[idx], camera_positions,
+                colors_per_view[:, idx], weights_per_view[:, idx],
+                sh_degree=sh_degree, ridge=ridge, chunk=chunk)[: e - s])
+        return jnp.concatenate(outs, axis=0)
     k = num_sh_coeffs(sh_degree)
 
     def accumulate(carry, inputs):
