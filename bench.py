@@ -623,6 +623,13 @@ def main():
     # the relay still flip 1-3% calls on noise, and a noise-level greedy
     # pick must not change a committed default.
     TUNE_MARGIN = 0.97
+    # Repeat-winner margin: knobs that have now won (by <3%) in two
+    # consecutive rounds at this workload — pallas_scans (r4: 239.5 vs
+    # 241.9; r5: see PROFILE.md) and batch4 (r5: 218.9 vs 222.6) — may be
+    # adopted on ANY probe win: the final full re-measure
+    # (`measure_full` + the `dt2 < dt_img` emit gate below) is the noise
+    # arbiter, so a probe-stage noise flip cannot move the headline.
+    REPEAT_MARGIN = 1.0
     margin_notes = []
 
     def _quality_ab_pass(arm, tol_db=0.15):
@@ -651,6 +658,33 @@ def main():
         except Exception:
             return False
 
+    _remeasured = [None]
+
+    def _remeasure_emit():
+        """Full re-measure of the current tuned best; emits an updated
+        headline only if it beats the incumbent's full measure. Runs
+        BEFORE the info-only probes: in the first r5 chip run the adopted
+        scans+sat config (216.8 ms probe vs 222.6 incumbent) never got its
+        re-measure because the alpha info probes drained the budget first
+        — adoption-capable work must not be starved by probes that cannot
+        change the headline. Idempotent per (config, batch)."""
+        nonlocal clipped_step
+        if best_rcfg is rcfg and best_bs == 1:
+            return
+        if _remeasured[0] == (id(best_rcfg), best_bs):
+            return
+        if budget_left() <= 120:
+            print(f"# re-measure of adopted config SKIPPED "
+                  f"(budget {budget_left():.0f}s)")
+            return
+        dt2, clipped2 = measure_full(best_rcfg, max(iters // best_bs, 4),
+                                     bs=best_bs)
+        print(f"# adopted {best_label}: {dt2*1e3:.2f} ms/image")
+        _remeasured[0] = (id(best_rcfg), best_bs)
+        if dt2 < dt_img:
+            clipped_step = clipped2
+            emit(make_result(dt2, best_label, bs=best_bs))
+
     if os.environ.get("BENCH_TUNE", "1") != "0" and budget_left() > 300:
         import dataclasses as _dc
         print("# tune: retired probes (3-round losers, VERDICT r4 #7): "
@@ -661,13 +695,9 @@ def main():
         if not rcfg.pallas_scans and _scans_qualified():
             t = try_measure("pallas_scans=True",
                             _dc.replace(rcfg, pallas_scans=True))
-            if t is not None and t <= best_dt * TUNE_MARGIN:
+            if t is not None and t <= best_dt * REPEAT_MARGIN and t < best_dt:
                 best_dt, best_rcfg = t, _dc.replace(rcfg, pallas_scans=True)
                 best_label = "pallas_scans=True"
-            elif t is not None and t < best_dt:
-                margin_notes.append(
-                    f"kept base over pallas_scans ({t*1e3:.2f} vs "
-                    f"{best_dt*1e3:.2f} ms) — win below the 3% margin")
         # (2) saturation compaction at a demand-bucketed capacity: scene-
         # dependent (pays on deep-occupancy trained scenes).
         try:
@@ -735,8 +765,11 @@ def main():
             tag = ("quality A/B passed" if b4_ok
                    else "info: no quality-A/B pass recorded; not adopted")
             t = try_measure(f"batch4 ({tag})", best_rcfg, bs=4)
-            if t is not None and b4_ok and t <= best_dt * TUNE_MARGIN:
+            if t is not None and b4_ok and t < best_dt * REPEAT_MARGIN:
                 best_dt, best_label, best_bs = t, f"{best_label} + batch4", 4
+        # All adoption-capable probes are done — lock in the headline
+        # before spending budget on info-only probes.
+        _remeasure_emit()
         # (5) alpha_threshold (approximation-class: drops splats whose peak
         # alpha is below the threshold): 2/255 measured -25% visible /
         # -31% demand at checkpoint_30000, the largest instance-count
@@ -763,14 +796,9 @@ def main():
             except Exception as e:
                 print(f"# {arm} probe FAILED ({type(e).__name__}: {e})"[:300])
 
-    # ---- re-measure + re-emit if tuning adopted anything ------------------
-    if (best_rcfg is not rcfg or best_bs != 1) and budget_left() > 200:
-        dt2, clipped2 = measure_full(best_rcfg, max(iters // best_bs, 4),
-                                     bs=best_bs)
-        print(f"# adopted {best_label}: {dt2*1e3:.2f} ms/image")
-        if dt2 < dt_img:
-            clipped_step = clipped2
-            emit(make_result(dt2, best_label, bs=best_bs))
+    # ---- re-measure + re-emit if the info-only stage adopted anything -----
+    # (quality-passed alpha rungs would land here; no-op otherwise)
+    _remeasure_emit()
 
     # ---- PROFILE.md -------------------------------------------------------
     final = _last_result
